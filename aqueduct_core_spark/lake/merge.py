@@ -1,0 +1,208 @@
+"""Copy-on-write CDC MERGE of a change-event micro-batch into the transcript table.
+
+This is the engine's core apply operator. It reproduces, Spark-first, the reference's
+single-transaction apply + LWW compaction + tombstone semantics:
+
+  * exactly-once / idempotent batch apply   <-> PK-conflict idempotence + atomic tx
+      (pipe-storage-sqlite/.../SQLiteStorage.java:134-171,
+       SQLiteStorageIntegrationSpec.groovy:250-282)
+  * last-writer-wins per (conv_id, turn_idx) <-> max(msg_offset) per (msg_key, type)
+      (pipe-storage-sqlite/.../SQLiteQueries.java:51-52) — tiebreak here is
+      (ts, change_lsn) per BASELINE.json north_star
+  * tombstones retained until compaction    <-> late-data-safe deletes
+      (PostgresqlStorage.java:394-408, 473-488)
+  * parent-before-child apply waves         <-> registry binary-tree hierarchy
+      (registry-core/.../SubNodeGroup.java:53-65) — wave 1: conversation-level
+      records, wave 2: turn records guarded by conversation tombstones
+
+Plan shape (all distributed; driver only plans + commits the manifest):
+
+  batch ──normalize──▶ salted 2-phase LWW dedup ──▶ winners (unique per key)
+                                        │
+  target buckets (manifest-pruned) ─────┴─▶ groupBy(key).max_by((ts,_lsn))
+                                        │
+                 conversation-tombstone cascade (wave-2 guard, broadcast-joined)
+                                        │
+                 per-bucket rewrite ──▶ atomic manifest commit (txn: batch_id)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.lake.table import (
+    BUCKET_COL,
+    CommitConflict,
+    LakeTable,
+    Snapshot,
+    bucket_expr,
+)
+from aqueduct_core_spark.schema import (
+    CONV_DELETE_SENTINEL_TURN_IDX,
+    CONV_SENTINEL_TURN_IDX,
+)
+
+KEY_COLS = ["conv_id", "turn_idx"]
+ORDER_COLS = ["ts", "_lsn"]  # LWW tiebreak, reference's max(msg_offset) enriched by ts
+
+
+@dataclass
+class MergeResult:
+    batch_id: int
+    skipped: bool  # True when the batch was already committed (exactly-once replay)
+    version: int | None
+    affected_buckets: list[int]
+
+
+def normalize_events(batch_df: DataFrame, physical_schema) -> DataFrame:
+    """Project change events onto the physical transcript row shape.
+
+    conversation-level events take turn_idx = CONV_SENTINEL_TURN_IDX so the MERGE
+    key is never NULL; `op='D'` becomes a retained `_deleted` tombstone row
+    (reference: `data IS NULL` tombstone, PostgresqlStorage.java:479).
+    """
+    batch_cols = set(batch_df.columns)
+
+    def project(turn_idx_expr):
+        cols = []
+        for f in physical_schema.fields:
+            if f.name == "turn_idx":
+                cols.append(turn_idx_expr.cast(f.dataType).alias("turn_idx"))
+            elif f.name == "_lsn":
+                cols.append(F.col("change_lsn").cast("long").alias("_lsn"))
+            elif f.name == "_deleted":
+                cols.append((F.col("op") == F.lit("D")).alias("_deleted"))
+            elif f.name in batch_cols:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                # evolve-then-write: column added to the table, absent in this batch
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return cols
+
+    is_conv = F.col("entity") == F.lit("conversation")
+    main = batch_df.select(
+        *project(
+            F.when(is_conv, F.lit(CONV_SENTINEL_TURN_IDX)).otherwise(F.col("turn_idx"))
+        )
+    )
+    # Conversation deletes additionally land on the cascade-boundary sentinel key,
+    # so a later conversation re-insert (which wins the -1 row) cannot erase the
+    # boundary that older turns must still be judged against.
+    conv_deletes = batch_df.filter(is_conv & (F.col("op") == F.lit("D"))).select(
+        *project(F.lit(CONV_DELETE_SENTINEL_TURN_IDX))
+    )
+    return main.unionByName(conv_deletes)
+
+
+def lww_dedup(df: DataFrame, key_cols: Sequence[str] = KEY_COLS, salt: int = 16) -> DataFrame:
+    """Salted two-phase last-writer-wins dedup: one winner row per key.
+
+    The salt pre-aggregation breaks up hot conversations (a single conv_id owning a
+    large share of a batch) before the key-grouped shuffle — the north rule's
+    "salted repartitioning before the merge stage". Phase 1 groups by
+    (key, salt-of-lsn) with map-side partial aggregation; phase 2 reduces the at
+    most `salt` candidates per key. Equivalent single-stage plan would put every
+    duplicate of a hot key in one task.
+    """
+    row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+    ordk = F.struct(*[F.col(c) for c in ORDER_COLS]).alias("_ord")
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col("_lsn")), F.lit(salt)))
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(F.max_by(row, ordk).alias("_w"))
+    phase2 = (
+        phase1.select("_w.*")
+        .groupBy(*key_cols)
+        .agg(F.max_by(row, ordk).alias("_w"))
+    )
+    return phase2.select("_w.*")
+
+
+def merge_change_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    writer_id: str = "cdc",
+    salt: int = 16,
+    extra_txn: dict | None = None,
+) -> MergeResult:
+    """Apply one micro-batch of change events. Idempotent by (writer_id, batch_id)."""
+    while True:
+        snap = table.current()
+        if snap.txn.get(writer_id, -1) >= batch_id:
+            return MergeResult(batch_id, True, None, [])
+
+        physical = snap.schema()
+        src = normalize_events(batch_df, physical)
+        winners = lww_dedup(src, salt=salt).withColumn(
+            BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets)
+        )
+
+        # Manifest-level partition pruning: only buckets the batch touches are read.
+        affected = sorted(
+            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
+        )
+        target = table.read(buckets=affected, with_bucket_col=True)
+
+        # Cross-batch LWW: one winner per key over stored ∪ incoming.
+        combined = target.unionByName(winners)
+        row = F.struct(*[F.col(c) for c in combined.columns]).alias("_row")
+        ordk = F.struct(*[F.col(c) for c in ORDER_COLS])
+        merged = (
+            combined.groupBy(*KEY_COLS)
+            .agg(F.max_by(row, ordk).alias("_w"))
+            .select("_w.*")
+        )
+
+        # Wave 2 guard: a conversation-level tombstone cascades to every turn of
+        # that conversation that is older than the delete (re-created conversations
+        # keep their newer turns). Tombstone rows themselves stay until compaction.
+        conv_tombs = merged.filter(
+            F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX)
+        ).select(
+            F.col("conv_id").alias("_t_conv"),
+            F.col("ts").alias("_t_ts"),
+            F.col("_lsn").alias("_t_lsn"),
+        )
+        guarded = (
+            merged.join(
+                F.broadcast(conv_tombs),
+                merged["conv_id"] == conv_tombs["_t_conv"],
+                "left",
+            )
+            .filter(
+                (F.col("turn_idx") < F.lit(0))  # sentinel rows always survive
+                | F.col("_t_conv").isNull()
+                | (
+                    F.struct(F.col("ts"), F.col("_lsn"))
+                    > F.struct(F.col("_t_ts"), F.col("_t_lsn"))
+                )
+            )
+            .select(*[F.col(c) for c in combined.columns])
+        )
+
+        new_files = table.write_files(guarded, snap)
+        keep = [f for f in snap.files if f["bucket"] not in set(affected)]
+        txn = dict(snap.txn)
+        txn[writer_id] = batch_id
+        if extra_txn:
+            txn.update(extra_txn)
+        nxt = Snapshot(
+            version=snap.version + 1,
+            current_schema_id=snap.current_schema_id,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            bucket_key=snap.bucket_key,
+            files=keep + new_files,
+            txn=txn,
+            properties=snap.properties,
+            parent=snap.version,
+            committed_at=__import__("time").time(),
+        )
+        try:
+            table.try_commit(nxt)
+            return MergeResult(batch_id, False, nxt.version, list(affected))
+        except CommitConflict:
+            continue  # optimistic retry, same as Iceberg commit conflicts

@@ -1,0 +1,263 @@
+"""Lake-table MERGE semantics: LWW, tombstones, cascade, idempotence, evolution.
+
+Golden behaviors ported from the reference's integration specs (see FIXTURES.md §4,
+SQLiteStorageIntegrationSpec.groovy / PostgresqlStorageIntegrationSpec.groovy).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from aqueduct_core_spark.lake.merge import merge_change_batch
+from aqueduct_core_spark.lake.table import LakeTable
+from aqueduct_core_spark.oracle import replay
+from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+from aqueduct_core_spark.transcripts import read_transcripts, table_consistency_sum
+
+from tests.util import ev, events_df, ts
+
+
+def make_table(spark, path, n_buckets=4):
+    return LakeTable.create(
+        spark, path, TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id", n_buckets=n_buckets
+    )
+
+
+def apply_batches(spark, table, batches):
+    for i, batch in enumerate(batches):
+        merge_change_batch(table, events_df(spark, batch), batch_id=i)
+
+
+def live_rows(table):
+    return [
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in read_transcripts(table)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+
+
+def oracle_rows(events):
+    return [
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in replay(events)
+    ]
+
+
+def assert_matches_oracle(spark, table, events, batches):
+    apply_batches(spark, table, batches)
+    assert live_rows(table) == oracle_rows(events)
+
+
+def test_simple_lww(spark, tmp_table_dir):
+    # reference golden case: (1,A),(2,B),(3,A) -> survivors [2,3]
+    # (SQLiteStorageIntegrationSpec.groovy:710-733)
+    events = [
+        ev(1, conv="A", turn=0, text="v1"),
+        ev(2, conv="B", turn=0, text="b"),
+        ev(3, "U", conv="A", turn=0, text="v2"),
+    ]
+    t = make_table(spark, tmp_table_dir)
+    assert_matches_oracle(spark, t, events, [events])
+    rows = live_rows(t)
+    assert [r[3] for r in rows] == ["v2", "b"]
+    assert table_consistency_sum(t) == 2 + 3
+
+
+def test_same_conv_different_turns_not_merged(spark, tmp_table_dir):
+    # reference: same key different type both survive (:734-756)
+    events = [ev(1, conv="A", turn=0), ev(2, conv="A", turn=1)]
+    t = make_table(spark, tmp_table_dir)
+    assert_matches_oracle(spark, t, events, [events])
+    assert len(live_rows(t)) == 2
+
+
+def test_ts_wins_over_lsn(spark, tmp_table_dir):
+    # LWW tiebreak is (ts, change_lsn): an event with later ts but earlier lsn wins
+    events = [
+        ev(1, conv="A", turn=0, text="late-ts", t=100),
+        ev(2, "U", conv="A", turn=0, text="early-ts", t=50),
+    ]
+    t = make_table(spark, tmp_table_dir)
+    assert_matches_oracle(spark, t, events, [events])
+    assert live_rows(t)[0][3] == "late-ts"
+
+
+def test_tombstone_deletes_key(spark, tmp_table_dir):
+    events = [
+        ev(1, conv="A", turn=0),
+        ev(2, conv="A", turn=1),
+        ev(3, "D", conv="A", turn=0),
+    ]
+    t = make_table(spark, tmp_table_dir)
+    assert_matches_oracle(spark, t, events, [events])
+    assert [(r[0], r[1]) for r in live_rows(t)] == [("A", 1)]
+
+
+def test_late_update_does_not_resurrect_tombstone(spark, tmp_table_dir):
+    # late-data-safe deletes: tombstone is retained, a straggler update with an
+    # older (ts, lsn) must NOT reappear (reference T5 deletion retention,
+    # PostgresqlStorage.java:394-408)
+    t = make_table(spark, tmp_table_dir)
+    b1 = [ev(1, conv="A", turn=0, t=10)]
+    b2 = [ev(3, "D", conv="A", turn=0, t=30)]
+    b3 = [ev(2, "U", conv="A", turn=0, text="straggler", t=20)]  # arrives after delete
+    events = b1 + b2 + b3
+    assert_matches_oracle(spark, t, events, [b1, b2, b3])
+    assert live_rows(t) == []
+
+
+def test_conversation_delete_cascades(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    b1 = [ev(1, conv="A", turn=0, t=1), ev(2, conv="A", turn=1, t=2), ev(3, conv="B", turn=0, t=3)]
+    b2 = [ev(4, "D", entity="conversation", conv="A", t=10)]
+    events = b1 + b2
+    assert_matches_oracle(spark, t, events, [b1, b2])
+    assert [(r[0], r[1]) for r in live_rows(t)] == [("B", 0)]
+
+
+def test_conversation_recreated_keeps_newer_turns(spark, tmp_table_dir):
+    # delete boundary semantics: turns newer than the latest conversation delete
+    # survive even if a conversation re-insert follows
+    # (reference deletion compaction keeps newer events:
+    #  PostgresqlStorageIntegrationSpec.groovy:284-334)
+    t = make_table(spark, tmp_table_dir)
+    b1 = [ev(1, conv="A", turn=0, t=1)]
+    b2 = [ev(2, "D", entity="conversation", conv="A", t=10)]
+    b3 = [ev(3, "I", entity="conversation", conv="A", t=20), ev(4, conv="A", turn=0, t=21)]
+    events = b1 + b2 + b3
+    assert_matches_oracle(spark, t, events, [b1, b2, b3])
+    assert [(r[0], r[1]) for r in live_rows(t)] == [("A", 0)]
+    assert live_rows(t)[0][3] == "text-4"
+
+
+def test_conv_delete_then_reinsert_same_batch_is_batching_invariant(spark, tmp_table_dir):
+    # the cascade boundary must survive a conversation re-insert in the SAME batch
+    t1 = make_table(spark, tmp_table_dir + "-a")
+    t2 = make_table(spark, tmp_table_dir + "-b")
+    b1 = [ev(1, conv="A", turn=0, t=1)]
+    b2 = [ev(2, "D", entity="conversation", conv="A", t=10)]
+    b3 = [ev(3, "I", entity="conversation", conv="A", t=20)]
+    events = b1 + b2 + b3
+    # split one way
+    assert_matches_oracle(spark, t1, events, [b1, b2, b3])
+    # and the other (delete + reinsert together)
+    assert_matches_oracle(spark, t2, events, [b1, b2 + b3])
+    assert live_rows(t1) == live_rows(t2) == []
+
+
+def test_duplicate_batch_replay_is_idempotent(spark, tmp_table_dir):
+    # reference: PK-conflict idempotence (SQLiteStorageIntegrationSpec.groovy:250-282)
+    t = make_table(spark, tmp_table_dir)
+    batch = [ev(1, conv="A", turn=0), ev(2, conv="B", turn=0)]
+    df = events_df(spark, batch)
+    r1 = merge_change_batch(t, df, batch_id=0)
+    v_after = t.current().version
+    r2 = merge_change_batch(t, df, batch_id=0)  # replay of the same batch id
+    assert not r1.skipped and r2.skipped
+    assert t.current().version == v_after
+    assert len(live_rows(t)) == 2
+
+
+def test_duplicate_lsn_redelivery_within_feed(spark, tmp_table_dir):
+    # the same event delivered twice (same lsn) converges to one row
+    t = make_table(spark, tmp_table_dir)
+    e = ev(1, conv="A", turn=0)
+    b = [e, dict(e)]
+    merge_change_batch(t, events_df(spark, b), batch_id=0)
+    assert len(live_rows(t)) == 1
+
+
+def test_multi_batch_equals_single_batch(spark, tmp_table_dir):
+    import random
+
+    rng = random.Random(7)
+    events = []
+    lsn = 0
+    for _ in range(300):
+        lsn += 1
+        conv = f"c{rng.randrange(8)}"
+        if rng.random() < 0.06:
+            events.append(
+                ev(lsn, op=rng.choice(["I", "D"]), entity="conversation", conv=conv,
+                   t=lsn + rng.randrange(-5, 6))
+            )
+        else:
+            events.append(
+                ev(lsn, op=rng.choice(["I", "U", "U", "D"]), conv=conv,
+                   turn=rng.randrange(6), t=lsn + rng.randrange(-5, 6))
+            )
+    t_one = make_table(spark, tmp_table_dir + "-one")
+    t_many = make_table(spark, tmp_table_dir + "-many")
+    assert_matches_oracle(spark, t_one, events, [events])
+    batches = [events[i : i + 50] for i in range(0, 300, 50)]
+    assert_matches_oracle(spark, t_many, events, batches)
+    assert live_rows(t_one) == live_rows(t_many)
+
+
+def test_bucket_pruning_rewrites_only_affected_buckets(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir, n_buckets=8)
+    b1 = [ev(i, conv=f"c{i}", turn=0) for i in range(1, 33)]
+    merge_change_batch(t, events_df(spark, b1), batch_id=0)
+    files_before = {f["path"]: f["bucket"] for f in t.current().files}
+    # touch one conversation only
+    merge_change_batch(t, events_df(spark, [ev(100, "U", conv="c1", turn=0)]), batch_id=1)
+    snap = t.current()
+    untouched = [f for f in snap.files if f["path"] in files_before]
+    # at most one bucket's files were rewritten
+    rewritten_buckets = {f["bucket"] for f in snap.files if f["path"] not in files_before}
+    assert len(rewritten_buckets) == 1
+    assert untouched  # other buckets' files survived as-is
+
+
+def test_schema_evolution_add_column_and_widen(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    merge_change_batch(t, events_df(spark, [ev(1, conv="A", turn=0)]), batch_id=0)
+
+    # evolve: add `model` column, widen turn_idx int->long (evolve-then-write)
+    old = t.current().schema()
+    new_fields = []
+    for f in old.fields:
+        if f.name == "turn_idx":
+            new_fields.append(StructField("turn_idx", LongType(), True))
+        else:
+            new_fields.append(f)
+    new_fields.insert(6, StructField("model", StringType(), True))
+    t.evolve_schema(StructType(new_fields))
+
+    batch = events_df(spark, [ev(2, conv="B", turn=0)]).withColumn(
+        "model", F.lit("m-1")
+    )
+    merge_change_batch(t, batch, batch_id=1)
+
+    out = read_transcripts(t).orderBy("conv_id").collect()
+    assert [r["model"] for r in out] == [None, "m-1"]  # old rows read as NULL
+    assert [type(r["turn_idx"]) for r in out] == [int, int]
+    assert dict(t.current().schema()["turn_idx"].jsonValue(), )["type"] == "long"
+
+
+def test_incompatible_evolution_rejected(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    old = t.current().schema()
+    narrowed = StructType(
+        [
+            StructField(f.name, StringType(), True) if f.name == "ts" else f
+            for f in old.fields
+        ]
+    )
+    with pytest.raises(ValueError):
+        t.evolve_schema(narrowed)
+
+
+def test_time_travel_and_expire(spark, tmp_table_dir):
+    t = make_table(spark, tmp_table_dir)
+    merge_change_batch(t, events_df(spark, [ev(1, conv="A", turn=0)]), batch_id=0)
+    v1 = t.current().version
+    merge_change_batch(t, events_df(spark, [ev(2, "D", conv="A", turn=0)]), batch_id=1)
+    assert read_transcripts(t).count() == 0
+    assert read_transcripts(t, version=v1).count() == 1  # time travel
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 0
+    assert read_transcripts(t).count() == 0
