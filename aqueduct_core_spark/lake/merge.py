@@ -127,6 +127,8 @@ def merge_change_batch(
     writer_id: str = "cdc",
     salt: int = 16,
     extra_txn: dict | None = None,
+    lineage_rows: list[dict] | None = None,
+    pipe_state: str | None = None,
 ) -> MergeResult:
     """Apply one micro-batch of change events. Idempotent by (writer_id, batch_id)."""
     while True:
@@ -189,6 +191,23 @@ def merge_change_batch(
         txn[writer_id] = batch_id
         if extra_txn:
             txn.update(extra_txn)
+        props = dict(snap.properties)
+        if lineage_rows is not None:
+            # Lineage rides in the SAME atomic commit as the data — the reference's
+            # one-transaction PipeEntity contract (messages + offsets + state,
+            # SQLiteStorage.java:134-171). Watermarks are monotone per partition.
+            lineage = dict(props.get("lineage", {}))
+            for r in lineage_rows:
+                pid = str(r["partition_id"])
+                prev = lineage.get(pid, {}).get("high_watermark_lsn", -1)
+                lineage[pid] = {
+                    "high_watermark_lsn": max(prev, int(r["high_watermark_lsn"])),
+                    "batch_id": batch_id,
+                    "applied_at": __import__("time").time(),
+                }
+            props["lineage"] = lineage
+        if pipe_state is not None:
+            props["pipe_state"] = pipe_state  # UP_TO_DATE | OUT_OF_DATE | UNKNOWN
         nxt = Snapshot(
             version=snap.version + 1,
             current_schema_id=snap.current_schema_id,
@@ -197,7 +216,7 @@ def merge_change_batch(
             bucket_key=snap.bucket_key,
             files=keep + new_files,
             txn=txn,
-            properties=snap.properties,
+            properties=props,
             parent=snap.version,
             committed_at=__import__("time").time(),
         )

@@ -1,0 +1,221 @@
+"""Structured Streaming CDC ingest: tail the ordered change log, apply exactly-once.
+
+The Spark restatement of the reference's tail-and-apply loop (SURVEY.md section 3.2):
+
+  reference                                       this engine
+  ---------                                       -----------
+  HttpPipeClient poll /pipe/{offset}              readStream over LSN-ordered parquet
+    (pipe-http-client/.../HttpPipeClient.java:36-63)   segments, maxFilesPerTrigger
+  Retry-After pacing / rate limiter               trigger interval / availableNow +
+    (PipeRateLimiter.java:8-18)                        maxFilesPerTrigger admission
+  SQLite one-tx apply (events+offsets+state)      foreachBatch -> ONE atomic lake
+    (SQLiteStorage.java:134-171)                       commit: MERGE + lineage + state
+  offset registers (OffsetName.java:3-5)          checkpointed source offsets + the
+                                                       manifest's lineage watermarks
+  bootstrap-from-zero (BootstrapService.java)     drop checkpoint + recreate table
+
+Exactly-once: Spark's checkpoint prevents re-delivery of a completed batch; if a
+crash lands between the lake commit and the checkpoint commit, the batch is replayed
+with the SAME batch_id and the merge's txn register skips it (idempotent). This is
+verified by tests/test_streaming.py::test_crash_between_commit_and_checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.lake.merge import merge_change_batch
+from aqueduct_core_spark.lake.table import LakeTable
+from aqueduct_core_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_PHYSICAL_SCHEMA
+
+
+@dataclass
+class IngestMetrics:
+    batches_applied: int = 0
+    batches_skipped: int = 0
+    events_seen: int = 0
+    last_batch_id: int = -1
+    per_batch_rows: list[int] = field(default_factory=list)
+
+
+class IngestEngine:
+    """Tails a change-event feed and applies it to the transcript lake table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        checkpoint_dir: str,
+        n_buckets: int = 16,
+        salt: int = 16,
+        writer_id: str = "cdc",
+        routing_filter: list[int] | None = None,
+        entity_filter: list[str] | None = None,
+        fail_after_batches: int | None = None,  # test hook: crash injection
+        fail_point: str = "before_commit",  # 'before_commit' | 'after_commit'
+        collect_metrics: bool = True,
+    ):
+        self.spark = spark
+        self.table_root = table_root
+        self.checkpoint_dir = checkpoint_dir
+        self.n_buckets = n_buckets
+        self.salt = salt
+        self.writer_id = writer_id
+        self.routing_filter = routing_filter
+        self.entity_filter = entity_filter
+        self.fail_after_batches = fail_after_batches
+        self.fail_point = fail_point
+        self.collect_metrics = collect_metrics
+        self.metrics = IngestMetrics()
+
+    # ------------------------------------------------------------------ table
+    def ensure_table(self) -> LakeTable:
+        if LakeTable.exists(self.table_root):
+            return LakeTable(self.spark, self.table_root)
+        return LakeTable.create(
+            self.spark,
+            self.table_root,
+            TRANSCRIPT_PHYSICAL_SCHEMA,
+            bucket_key="conv_id",
+            n_buckets=self.n_buckets,
+        )
+
+    def bootstrap(self) -> None:
+        """Full reset: drop checkpoint + table, replay from zero (reference
+        BootstrapType PIPE_AND_PROVIDER, BootstrapService.java:37-87)."""
+        import shutil
+
+        for p in (self.checkpoint_dir, self.table_root):
+            shutil.rmtree(p, ignore_errors=True)
+        self.ensure_table()
+
+    # ------------------------------------------------------------------ apply
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body. One atomic lake commit per micro-batch.
+
+        Wave ordering (reference hierarchy T7, SubNodeGroup.java:53-65): the merge
+        applies conversation-level records with precedence over turn records via
+        the sentinel keys — parents before children within the same commit.
+        """
+        table = LakeTable(self.spark, self.table_root)
+
+        df = batch_df
+        if self.entity_filter:
+            # reference F1 type filter (PostgresqlStorage.java:462)
+            df = df.filter(F.col("entity").isin(self.entity_filter))
+        if self.routing_filter:
+            # reference F3 routing filter (PostgresqlStorage.java:448-454)
+            df = df.filter(F.col("routing_id").isin(self.routing_filter))
+
+        # Per-routing-partition high watermarks: tiny aggregate (<= #partitions
+        # rows) collected on the driver and committed WITH the data.
+        lineage_rows = [
+            {"partition_id": int(r["p"]), "high_watermark_lsn": int(r["hw"])}
+            for r in df.groupBy(F.col("routing_id").alias("p"))
+            .agg(F.max("change_lsn").alias("hw"))
+            .collect()
+        ]
+        if self.fail_after_batches is not None and batch_id >= self.fail_after_batches:
+            if self.fail_point == "before_commit":
+                raise RuntimeError(f"injected crash before commit of batch {batch_id}")
+
+        result = merge_change_batch(
+            table,
+            df,
+            batch_id=batch_id,
+            writer_id=self.writer_id,
+            salt=self.salt,
+            lineage_rows=lineage_rows,
+            pipe_state="OUT_OF_DATE",
+        )
+
+        if self.fail_after_batches is not None and batch_id >= self.fail_after_batches:
+            # crash AFTER the lake commit but BEFORE Spark checkpoints the batch:
+            # the restart must replay this batch_id and the merge must skip it.
+            raise RuntimeError(f"injected crash after commit of batch {batch_id}")
+
+        if result.skipped:
+            self.metrics.batches_skipped += 1
+        else:
+            self.metrics.batches_applied += 1
+        self.metrics.last_batch_id = batch_id
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        log_path: str,
+        max_files_per_trigger: int | None = 1,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        timeout_s: float | None = None,
+    ):
+        """Start the ingest stream. With available_now=True, drains the feed and
+        marks the pipe UP_TO_DATE (reference PipeState, PipeState.java:3-5)."""
+        self.ensure_table()
+        reader = self.spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        if max_files_per_trigger is not None:
+            # batch admission control <-> reference read limit + byte cap (W1/O2)
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(log_path)
+
+        writer = stream.writeStream.foreachBatch(self.apply_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        query = writer.start()
+        if available_now:
+            query.awaitTermination(timeout_s)
+            self._mark_up_to_date()
+        return query
+
+    def _mark_up_to_date(self) -> None:
+        table = LakeTable(self.spark, self.table_root)
+        snap = table.current()
+        if snap.properties.get("pipe_state") == "UP_TO_DATE":
+            return
+        from aqueduct_core_spark.lake.table import CommitConflict, Snapshot
+        import time as _t
+
+        while True:
+            snap = table.current()
+            props = dict(snap.properties)
+            props["pipe_state"] = "UP_TO_DATE"
+            nxt = Snapshot(
+                version=snap.version + 1,
+                current_schema_id=snap.current_schema_id,
+                schemas=snap.schemas,
+                n_buckets=snap.n_buckets,
+                bucket_key=snap.bucket_key,
+                files=snap.files,
+                txn=snap.txn,
+                properties=props,
+                parent=snap.version,
+                committed_at=_t.time(),
+            )
+            try:
+                table.try_commit(nxt)
+                return
+            except CommitConflict:
+                continue
+
+    # ------------------------------------------------------------------ state
+    def lineage(self) -> DataFrame:
+        """The per-partition high-watermark lineage table."""
+        snap = LakeTable(self.spark, self.table_root).current()
+        rows = [
+            (int(pid), int(v["high_watermark_lsn"]), int(v["batch_id"]), float(v["applied_at"]))
+            for pid, v in snap.properties.get("lineage", {}).items()
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition_id int, high_watermark_lsn long, batch_id long, applied_at double"
+        )
+
+    def pipe_state(self) -> str:
+        snap = LakeTable(self.spark, self.table_root).current()
+        return snap.properties.get("pipe_state", "UNKNOWN")
