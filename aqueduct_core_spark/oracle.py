@@ -64,9 +64,9 @@ def replay(events: Iterable[Mapping]) -> list[dict]:
 
 
 def consistency_sum(events: Iterable[Mapping], threshold_lsn: int | None = None) -> int:
-    """Reference's offset-consistency checksum (SQLiteQueries.java:57-64):
-    sum of the winning LSN per live key considering only events at or below the
-    threshold; keys whose winner at the threshold is a tombstone contribute 0."""
+    """Reference's offset-consistency checksum, LSN-exact (SQLiteQueries.java:57-64):
+    per key, winner = max change_lsn among events with change_lsn <= threshold;
+    keys whose winner is a tombstone contribute 0; sum the rest."""
     filtered = [
         e for e in events if threshold_lsn is None or e["change_lsn"] <= threshold_lsn
     ]
@@ -74,6 +74,6 @@ def consistency_sum(events: Iterable[Mapping], threshold_lsn: int | None = None)
     for e in filtered:
         key = (e["conv_id"], -1 if e["entity"] == "conversation" else e["turn_idx"])
         cur = best.get(key)
-        if cur is None or (e["ts"], e["change_lsn"]) > (cur["ts"], cur["change_lsn"]):
+        if cur is None or e["change_lsn"] > cur["change_lsn"]:
             best[key] = e
     return sum(e["change_lsn"] for e in best.values() if e["op"] != "D")
