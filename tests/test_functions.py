@@ -1,0 +1,159 @@
+"""Text analysis / dedup / similarity / multimodal function tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.functions.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+    token_jaccard_pairs,
+)
+from aqueduct_core_spark.functions.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from aqueduct_core_spark.functions.similarity import (
+    ann_neardup_pairs,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+from aqueduct_core_spark.functions.text import add_quality_features, lang_id, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and it is fine for you"),
+        (2, "The quick brown fox jumps over the lazy dog and it is fine for you"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog and it is fine for me"),  # near dup of 1
+        (4, "el gato y el perro en la casa de los abuelos con un libro"),
+        (5, "der hund und die katze sind nicht ein problem mit sie"),
+        (6, "completely different text about spark query engines and shuffles"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_features(spark, docs):
+    out = add_quality_features(docs).orderBy("doc_id").collect()
+    assert out[0]["n_tokens"] == 15
+    assert out[6]["n_tokens"] == 0
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+    # identical texts -> identical fingerprint; different -> different
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_lang_id(spark, docs):
+    langs = {r["doc_id"]: r["l"] for r in docs.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert langs[1] == "en"
+    assert langs[4] == "es"
+    assert langs[5] == "de"
+    assert langs[7] == "und"
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["ids"] == [1, 2] and groups[0]["keep_id"] == 1
+    kept = exact_dedup(docs)
+    assert kept.count() == 6
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_token_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in token_jaccard_pairs(docs, 0.8).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.8
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs.filter("text != ''"), num_hashes=32, shingle_n=3)
+    assert sigs.count() == 6
+    pairs = lsh_candidate_pairs(sigs, bands=8, verify_threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found  # exact dup always collides
+    assert (1, 3) in found  # near dup should collide in some band
+    assert (1, 6) not in found
+
+
+def test_simhash(spark, docs):
+    sim = simhash64(docs.filter("text != ''"))
+    vals = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]  # identical text, identical simhash
+    pairs = simhash_near_pairs(sim, max_hamming=8, bands=4)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found[(1, 2)] == 0
+    assert (1, 3) in found  # near dup within hamming 8
+    assert (1, 6) not in found
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(40):
+        if i < 3:  # tight cluster around base
+            v = base + rng.standard_normal(16) * 0.01
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_topk(spark, vectors):
+    df, base = vectors
+    top = cosine_topk(df, [float(x) for x in base], k=3).collect()
+    assert {r["vec_id"] for r in top} == {0, 1, 2}
+    assert all(r["cosine"] > 0.99 for r in top)
+
+
+def test_embedding_neardup_exact_and_ann(spark, vectors):
+    df, _ = vectors
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, 0.99).collect()}
+    assert exact == {(0, 1), (0, 2), (1, 2)}
+    approx = {(r["id_a"], r["id_b"]) for r in ann_neardup_pairs(df, dim=16, threshold=0.99, nbits=8).collect()}
+    # ANN must be a subset of exact, and catch the tight cluster
+    assert approx <= exact and len(approx) >= 1
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 16 for r in rows)
+    # determinism: same payload bytes -> same features on re-run
+    again = {r["media_id"]: r["features"] for r in extract_features(media, dim=16).collect()}
+    first = {r["media_id"]: r["features"] for r in rows}
+    assert again == first
+
+    frames = frame_sample(media, frame_size=256, every_n=2)
+    fr = frames.collect()
+    assert fr and all(r["frame_idx"] % 2 == 0 for r in fr)
+    vids = {r["media_id"] for r in fr}
+    assert vids == {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image", use_real=True)
+
+
+def test_cosine_math_sanity():
+    # plain python check of the rounding contract used in oracles
+    a = [1.0, 0.0]
+    b = [1.0, 1.0]
+    expected = 1.0 / math.sqrt(2)
+    assert abs(expected - 0.707107) < 1e-6
