@@ -1,10 +1,20 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + per-operator queries + DuckDB oracle SQL.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The CDC operator family (SURVEY.md §2) is exercised over the driver's `events`
+table under the mapping:
+    msg_offset -> event_id      msg_key -> user_id      type -> event_type
+    created_utc -> ts           tombstone -> event_type = 'error'
+    routing_id -> user_id % 16  event_size -> length(props)
+The training-pipeline family runs over `documents` / `embeddings`, and the
+classic join/agg operators over the TPC-H-ish tables.
+
+Parity rules (so the driver's value-hash comparison passes):
+  * money/quantity aggregates go through DECIMAL(18,4) — exact + associative,
+    immune to float summation-order differences between Spark and DuckDB;
+  * cosine scores are computed as sequential float64 reductions on both sides
+    (bit-identical given identical inputs), then rounded to 6;
+  * timestamps leave queries as epoch-second BIGINTs (no tz representation
+    drift); every computed column is aliased identically in both dialects.
 """
 
 from __future__ import annotations
@@ -12,27 +22,552 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+)
+from aqueduct_core_spark.functions.similarity import ann_neardup_pairs, cosine
+from aqueduct_core_spark.functions.text import lang_id, quality_score, fingerprint_md5, token_count
+from aqueduct_core_spark.operators import compact_log, latest_deletes, lww_latest, read_page
+
+# --- shared constants (keep Spark and SQL sides in lockstep) -----------------
+COMPACT_TS = "2024-01-20 00:00:00"
+DELETE_TS = "2024-01-10 00:00:00"
+BEFORE_TS = "2024-01-15 00:00:00"
+CONSISTENCY_LSN = 5000
+PAGE_START, PAGE_END, PAGE_LIMIT, PAGE_BYTES = 100, 5000, 500, 20000
+PAGE_TYPES = ["click", "view"]
+ROUTING_SET = [1, 5, 11]
+N_ROUTING = 16
+SHIP_TS = "1998-09-02 00:00:00"
+NEARDUP_T = 0.4
+JACCARD_T = 0.9
+TOPK = 10
 
 
+def _conf(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _t(name: str):
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return load
+
+
+def _is_delete():
+    return F.col("event_type") == F.lit("error")
+
+
+# ------------------------------------------------------------------ CDC family
+def q_cdc_replay_final_state(spark, sf_dir):
+    """Full-log LWW replay final state (reference: applied store after tailing
+    the whole pipe; winner per key by (ts, lsn), tombstone winners absent)."""
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    win = lww_latest(ev, key_cols=["user_id"], order_cols=["ts", "event_id"])
+    return (
+        win.filter(~_is_delete())
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.unix_timestamp("ts").alias("last_ts_epoch"),
+        )
+    )
+
+
+def q_cdc_lww_latest_per_key(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    win = lww_latest(ev, key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"])
+    return win.select("user_id", "event_type", F.col("event_id").alias("last_event_id"))
+
+
+def q_cdc_compaction_survivors(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    out = compact_log(
+        ev,
+        compact_threshold_ts=COMPACT_TS,
+        deletion_threshold_ts=DELETE_TS,
+        key_cols=["user_id"],
+        lsn="event_id",
+        ts="ts",
+        is_delete=_is_delete(),
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_cdc_consistency_sum(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= CONSISTENCY_LSN)
+    per_key = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("_max"),
+        F.max_by(_is_delete(), F.col("event_id")).alias("_del"),
+    )
+    return per_key.filter(~F.col("_del")).agg(
+        F.sum("_max").cast("long").alias("consistency_sum")
+    )
+
+
+def q_cdc_read_page(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir).withColumn("event_size", F.length("props"))
+    page = read_page(
+        ev,
+        start_lsn=PAGE_START,
+        end_lsn=PAGE_END,
+        types=PAGE_TYPES,
+        limit=PAGE_LIMIT,
+        max_batch_bytes=PAGE_BYTES,
+        lsn="event_id",
+        type_col="event_type",
+        size_col="event_size",
+    )
+    return page.select("event_id", "user_id", "event_type", "event_size")
+
+
+def q_cdc_routing_filter(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir).withColumn(
+        "routing_id", F.pmod(F.col("user_id"), F.lit(N_ROUTING))
+    )
+    return ev.filter(F.col("routing_id").isin(ROUTING_SET)).select(
+        "event_id", "user_id", "routing_id"
+    )
+
+
+def q_cdc_count_by_type(spark, sf_dir):
+    _conf(spark)
+    return _events(spark, sf_dir).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cdc_max_offsets(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    return ev.agg(
+        F.max("event_id").alias("global_latest"),
+        F.max(F.when(F.col("event_type").isin(PAGE_TYPES), F.col("event_id"))).alias(
+            "max_for_types"
+        ),
+        F.max(F.when(F.col("ts") <= F.lit(BEFORE_TS).cast("timestamp"), F.col("event_id"))).alias(
+            "max_before_ts"
+        ),
+    )
+
+
+def q_cdc_latest_deletes(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    return latest_deletes(
+        ev, COMPACT_TS, key_cols=["user_id"], lsn="event_id", ts="ts", is_delete=_is_delete()
+    ).select("user_id", "last_delete_lsn")
+
+
+def q_cdc_lineage_watermarks(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.pmod(F.col("user_id"), F.lit(N_ROUTING)).alias("partition_id"))
+        .agg(F.max("event_id").alias("high_watermark_lsn"))
+    )
+
+
+def q_cdc_hourly_rollup(spark, sf_dir):
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ OLAP family
+def q_olap_pricing_summary(spark, sf_dir):
+    _conf(spark)
+    li = _t("lineitem")(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(SHIP_TS).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_olap_top_nations_revenue(spark, sf_dir):
+    """Star join with broadcast dimensions: revenue by nation."""
+    _conf(spark)
+    li, orders = _t("lineitem")(spark, sf_dir), _t("orders")(spark, sf_dir)
+    cust, nat = _t("customer")(spark, sf_dir), _t("nation")(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_olap_priority_semijoin(spark, sf_dir):
+    """Semi-join (EXISTS) order-priority count."""
+    _conf(spark)
+    li, orders = _t("lineitem")(spark, sf_dir), _t("orders")(spark, sf_dir)
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ------------------------------------------------------------ text/dedup family
+def q_text_token_counts(spark, sf_dir):
+    _conf(spark)
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        token_count(F.col("text"), "bpe").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_lang_quality(spark, sf_dir):
+    _conf(spark)
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    _conf(spark)
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+def q_dedup_exact_digests(spark, sf_dir):
+    _conf(spark)
+    docs = _t("documents")(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def q_dedup_token_jaccard(spark, sf_dir):
+    _conf(spark)
+    from aqueduct_core_spark.functions.dedup import token_jaccard_pairs
+
+    docs = _t("documents")(spark, sf_dir)
+    return token_jaccard_pairs(docs, threshold=JACCARD_T)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    _conf(spark)
+    emb = _t("embeddings")(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding").cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col("vec_id")).limit(TOPK)
+
+
+def q_ann_neardup_exact(spark, sf_dir):
+    _conf(spark)
+    emb = _t("embeddings")(spark, sf_dir)
+    n = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_T)
+    )
+
+
+# ------------------------------------------- Spark-only scale paths (rows-only)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    _conf(spark)
+    docs = _t("documents")(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3)
+    return lsh_candidate_pairs(sigs, bands=8, verify_threshold=0.5)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    _conf(spark)
+    docs = _t("documents")(spark, sf_dir)
+    return simhash_near_pairs(simhash64(docs), max_hamming=6, bands=4)
+
+
+def q_ann_neardup_lsh(spark, sf_dir):
+    _conf(spark)
+    emb = _t("embeddings")(spark, sf_dir)
+    return ann_neardup_pairs(emb, dim=64, threshold=NEARDUP_T, nbits=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=120)
+    feats = extract_features(media, dim=16)
+    return feats.select("media_id", "kind", "n_bytes", F.size("features").alias("dim"))
+
+
+# =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full-log LWW replay final state at sf0.001."""
+    return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_lww_latest_per_key": q_cdc_lww_latest_per_key,
+        "cdc_compaction_survivors": q_cdc_compaction_survivors,
+        "cdc_consistency_sum": q_cdc_consistency_sum,
+        "cdc_read_page": q_cdc_read_page,
+        "cdc_routing_filter": q_cdc_routing_filter,
+        "cdc_count_by_type": q_cdc_count_by_type,
+        "cdc_max_offsets": q_cdc_max_offsets,
+        "cdc_latest_deletes": q_cdc_latest_deletes,
+        "cdc_lineage_watermarks": q_cdc_lineage_watermarks,
+        "cdc_hourly_rollup": q_cdc_hourly_rollup,
+        "olap_pricing_summary": q_olap_pricing_summary,
+        "olap_top_nations_revenue": q_olap_top_nations_revenue,
+        "olap_priority_semijoin": q_olap_priority_semijoin,
+        "text_token_counts": q_text_token_counts,
+        "text_lang_quality": q_text_lang_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_digests": q_dedup_exact_digests,
+        "dedup_token_jaccard": q_dedup_token_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_neardup_exact": q_ann_neardup_exact,
+        # Spark-only scale paths (no SQL twin -> rows-only check)
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_neardup_lsh": q_ann_neardup_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =============================================================================
+_TOKEN_SQL = "'[a-z0-9'']+'"
+_BPE_SQL = "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'"
+_PUNCT_SQL = "'[.,;:!?''\"()\\[\\]{}-]'"
+_STOP = {
+    "en": "the|and|of|to|in|is|you|that|it|for",
+    "es": "el|la|de|que|y|los|en|un|por|con",
+    "de": "der|die|und|das|ist|nicht|ein|ich|mit|sie",
+    "fr": "le|la|les|et|des|un|une|est|que|pour",
+}
+
+
+def _stop_sql(lang: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '\\b({_STOP[lang]})\\b'))"
+
+
+def _cos_sql(vec_a: str, vec_b: str) -> str:
+    dot = (
+        f"list_reduce(list_transform(list_zip({vec_a}, {vec_b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    na = f"sqrt(list_reduce(list_transform({vec_a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b))"
+    nb = f"sqrt(list_reduce(list_transform({vec_b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b))"
+    return f"round({dot} / ({na} * {nb}), 6)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_counts = {k: _stop_sql(k) for k in ("en", "es", "de", "fr")}
+    best = f"greatest({lang_counts['en']}, {lang_counts['es']}, {lang_counts['de']}, {lang_counts['fr']})"
+    lang_case = (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        f"WHEN {lang_counts['en']} = {best} THEN 'en' "
+        f"WHEN {lang_counts['es']} = {best} THEN 'es' "
+        f"WHEN {lang_counts['de']} = {best} THEN 'de' "
+        f"ELSE 'fr' END"
+    )
+    ntok = f"len(regexp_extract_all(lower(text), {_TOKEN_SQL}))"
+    uniq = f"len(list_distinct(regexp_extract_all(lower(text), {_TOKEN_SQL})))"
+    npunct = f"len(regexp_extract_all(text, {_PUNCT_SQL}))"
+    quality = (
+        f"round(0.3 * least(length(text) / 500.0, 1.0) "
+        f"+ 0.3 * least({_stop_sql('en')} / greatest({ntok}, 1) * 4.0, 1.0) "
+        f"+ 0.2 * (CASE WHEN {ntok} > 0 THEN {uniq} / CAST({ntok} AS DOUBLE) ELSE 0.0 END) "
+        f"+ 0.2 * (1.0 - least({npunct} / greatest(length(text), 1) * 10.0, 1.0)), 6)"
+    )
+    fingerprint = (
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+    )
+    return {
+        "cdc_replay_final_state": f"""
+            SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+                   value AS last_value, CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events) t
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_lww_latest_per_key": """
+            SELECT user_id, event_type, event_id AS last_event_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn
+                  FROM events) t
+            WHERE rn = 1
+        """,
+        "cdc_compaction_survivors": f"""
+            SELECT event_id, user_id, event_type FROM events e
+            WHERE NOT (ts <= TIMESTAMP '{COMPACT_TS}'
+                       AND event_id <> (SELECT max(event_id) FROM events e2
+                                        WHERE e2.user_id = e.user_id AND e2.ts <= TIMESTAMP '{COMPACT_TS}'))
+              AND NOT (event_type = 'error' AND ts <= TIMESTAMP '{DELETE_TS}')
+        """,
+        "cdc_consistency_sum": f"""
+            SELECT CAST(sum(mx) AS BIGINT) AS consistency_sum FROM (
+                SELECT user_id, max(event_id) AS mx,
+                       arg_max(event_type = 'error', event_id) AS del
+                FROM events WHERE event_id <= {CONSISTENCY_LSN} GROUP BY user_id) t
+            WHERE NOT del
+        """,
+        "cdc_read_page": f"""
+            SELECT event_id, user_id, event_type, event_size FROM (
+                SELECT *, sum(event_size) OVER (ORDER BY event_id) AS running FROM (
+                    SELECT event_id, user_id, event_type, length(props) AS event_size
+                    FROM events
+                    WHERE event_id >= {PAGE_START} AND event_id <= {PAGE_END}
+                      AND event_type IN ('click', 'view')
+                    ORDER BY event_id LIMIT {PAGE_LIMIT}) p) q
+            WHERE running < {PAGE_BYTES}
+        """,
+        "cdc_routing_filter": f"""
+            SELECT event_id, user_id, user_id % {N_ROUTING} AS routing_id FROM events
+            WHERE user_id % {N_ROUTING} IN (1, 5, 11)
+        """,
+        "cdc_count_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "cdc_max_offsets": f"""
+            SELECT max(event_id) AS global_latest,
+                   max(CASE WHEN event_type IN ('click','view') THEN event_id END) AS max_for_types,
+                   max(CASE WHEN ts <= TIMESTAMP '{BEFORE_TS}' THEN event_id END) AS max_before_ts
+            FROM events
+        """,
+        "cdc_latest_deletes": f"""
+            SELECT user_id, max(event_id) AS last_delete_lsn FROM events
+            WHERE event_type = 'error' AND ts <= TIMESTAMP '{COMPACT_TS}'
+            GROUP BY user_id
+        """,
+        "cdc_lineage_watermarks": f"""
+            SELECT user_id % {N_ROUTING} AS partition_id, max(event_id) AS high_watermark_lsn
+            FROM events GROUP BY user_id % {N_ROUTING}
+        """,
+        "cdc_hourly_rollup": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "olap_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '{SHIP_TS}'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "olap_top_nations_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "olap_priority_semijoin": """
+            SELECT o_orderpriority, count(*) AS n_orders FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+            GROUP BY o_orderpriority
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id, len(regexp_extract_all(lower(text), {_TOKEN_SQL})) AS n_tokens,
+                   len(regexp_extract_all(text, {_BPE_SQL})) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_lang_quality": f"""
+            SELECT doc_id, {lang_case} AS lang_pred, {quality} AS quality FROM documents
+        """,
+        "text_fingerprint": f"SELECT doc_id, {fingerprint} AS fingerprint FROM documents",
+        "dedup_exact_digests": """
+            SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_token_jaccard": f"""
+            WITH tok AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(regexp_extract_all(lower(text), {_TOKEN_SQL}))) AS tok
+                FROM documents),
+            sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+            shared AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+                GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) >= {JACCARD_T}
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, {_cos_sql('embedding', '(SELECT qe FROM q)')} AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT {TOPK}
+        """,
+        "ann_neardup_exact": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+        """,
+    }
