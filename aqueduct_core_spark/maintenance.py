@@ -1,0 +1,102 @@
+"""Table maintenance: tombstone compaction + snapshot expiry + file rewrite.
+
+The Spark restatement of the reference's scheduled compaction path
+(SURVEY.md §3.3): CompactionTask cron -> advisory-locked compactAndMaintain ->
+mark TTL for superseded deletes -> delete expired -> VACUUM ANALYSE
+(pipe-http-server-cloud/.../CompactionTask.java:40-47,
+ pipe-storage-postgresql/.../PostgresqlStorage.java:365-497).
+
+Here: a maintenance job that rewrites the transcript table dropping tombstone
+rows older than the retention threshold (they have done their late-data duty),
+then expires old snapshots. Single-flight is guaranteed by the manifest's
+optimistic CAS commit (a concurrent compactor loses the race and retries or
+aborts) — replacing the reference's `SELECT ... FOR UPDATE NOWAIT` advisory lock.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.lake.table import BUCKET_COL, CommitConflict, LakeTable, Snapshot
+
+
+@dataclass
+class CompactionStats:
+    version: int | None
+    removed_snapshots: int
+    skipped: bool = False
+
+
+def compact_table(
+    table: LakeTable,
+    tombstone_retention_ts,
+    keep_snapshots: int = 2,
+    writer_id: str = "maintenance",
+) -> CompactionStats:
+    """Drop tombstone rows (turn, conversation and cascade sentinels) whose
+    event time is at or below the retention threshold, rewrite all buckets,
+    expire old snapshots.
+
+    Mirrors the reference's deletion retention: tombstones younger than the
+    threshold stay so that late/straggler readers still observe the delete
+    (PostgresqlStorage.java:394-408; prod threshold 30 d)."""
+    while True:
+        snap = table.current()
+        df = table.read(with_bucket_col=True)
+        kept = df.filter(
+            ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
+        )
+        new_files = table.write_files(kept, snap)
+        nxt = Snapshot(
+            version=snap.version + 1,
+            current_schema_id=snap.current_schema_id,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            bucket_key=snap.bucket_key,
+            files=new_files,
+            txn=snap.txn,
+            properties={**snap.properties, "last_compaction": str(tombstone_retention_ts)},
+            parent=snap.version,
+            committed_at=__import__("time").time(),
+        )
+        try:
+            table.try_commit(nxt)
+            break
+        except CommitConflict:
+            continue
+    removed = table.expire_snapshots(keep_last=keep_snapshots)
+    return CompactionStats(version=nxt.version, removed_snapshots=removed)
+
+
+def rewrite_small_files(table: LakeTable, target_files_per_bucket: int = 1) -> int:
+    """Bin-pack small files per bucket (Iceberg rewrite_data_files analog;
+    reference analog: SQLite VACUUM + WAL checkpoint, SQLiteStorage.java:266-273).
+    Returns the new snapshot version."""
+    while True:
+        snap = table.current()
+        by_bucket: dict[int, int] = {}
+        for f in snap.files:
+            by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
+        if all(n <= target_files_per_bucket for n in by_bucket.values()):
+            return snap.version
+        df = table.read(with_bucket_col=True)
+        new_files = table.write_files(df.repartition(snap.n_buckets, F.col(BUCKET_COL)), snap)
+        nxt = Snapshot(
+            version=snap.version + 1,
+            current_schema_id=snap.current_schema_id,
+            schemas=snap.schemas,
+            n_buckets=snap.n_buckets,
+            bucket_key=snap.bucket_key,
+            files=new_files,
+            txn=snap.txn,
+            properties=snap.properties,
+            parent=snap.version,
+            committed_at=__import__("time").time(),
+        )
+        try:
+            table.try_commit(nxt)
+            return nxt.version
+        except CommitConflict:
+            continue

@@ -1,0 +1,6 @@
+from aqueduct_core_spark.plans.inspect import (  # noqa: F401
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+)

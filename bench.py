@@ -1,0 +1,167 @@
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc_replay": {"events": N, "sec": t, "events_per_sec": r}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     AQ_BENCH_EVENTS (replay feed size, default 1_000_000),
+     AQ_BENCH_SKIP_REPLAY=1 to skip the replay stage.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("aqueduct-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("AQ_BENCH_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+HEADLINE = [
+    "cdc_replay_final_state",
+    "cdc_compaction_survivors",
+    "cdc_consistency_sum",
+    "cdc_read_page",
+    "cdc_hourly_rollup",
+    "olap_pricing_summary",
+    "olap_top_nations_revenue",
+    "olap_priority_semijoin",
+    "text_lang_quality",
+    "text_token_counts",
+    "dedup_exact_digests",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "ann_neardup_lsh",
+]
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full execution; count avoids driver-side row transfer
+        out[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return out
+
+
+def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
+    """CDC replay throughput: deterministic feed -> streaming MERGE into the
+    lake table. Feed lives in tmpfs so storage I/O does not dominate and the
+    local[8]-vs-local[32] comparison measures compute scaling.
+
+    Scaling-fairness rules: the job SHAPE (bucket count, segment count, batch
+    count) is identical at every parallelism — only executor threads and
+    shuffle partitions change. Segments are small enough that every batch has
+    more input splits than cores (a parquet file is one row group, hence one
+    task; too few files would cap scan parallelism below the core count)."""
+    from aqueduct_core_spark.feedgen import generate_change_feed, write_segments
+    from aqueduct_core_spark.streaming.engine import IngestEngine
+
+    n_segments = int(os.environ.get("AQ_BENCH_SEGMENTS", "128"))
+    mfpt = int(os.environ.get("AQ_BENCH_MFPT", "64"))
+    n_buckets = int(os.environ.get("AQ_BENCH_BUCKETS", "64"))
+
+    log_dir = os.path.join(work_dir, "log")
+    feed = generate_change_feed(
+        spark,
+        n_events=n_events,
+        n_convs=max(1000, n_events // 20),
+        turns_per_conv=20,
+        seed=42,
+        skew=1.3,
+        n_hot=5,
+        p_hot=0.05,
+        ts_jitter_s=60,
+        dup_frac=0.01,
+    )
+    write_segments(feed, log_dir, n_segments=n_segments)
+
+    eng = IngestEngine(
+        spark,
+        table_root=os.path.join(work_dir, "tbl"),
+        checkpoint_dir=os.path.join(work_dir, "ckpt"),
+        n_buckets=n_buckets,
+        salt=16,
+    )
+    t0 = time.perf_counter()
+    eng.run(log_dir, max_files_per_trigger=mfpt)
+    elapsed = time.perf_counter() - t0
+    return {
+        "events": n_events,
+        "sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "batches": eng.metrics.batches_applied,
+        "segments": n_segments,
+        "buckets": n_buckets,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("AQ_BENCH_EVENTS", "1000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else math.nan
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = (
+        {} if os.environ.get("AQ_BENCH_ONLY_REPLAY") == "1" else run_headline(spark, sf_dir)
+    )
+
+    replay = None
+    if os.environ.get("AQ_BENCH_SKIP_REPLAY") != "1":
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work = tempfile.mkdtemp(prefix="aq_bench_", dir=base)
+        try:
+            replay = run_replay(spark, n_events, work, cpus)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    result = {
+        "metric": "headline query suite wall time (CDC + OLAP + text/dedup/ANN) "
+        "plus sustained CDC replay events/sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if replay:
+        result["cdc_replay"] = replay
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
