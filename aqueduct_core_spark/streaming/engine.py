@@ -57,6 +57,9 @@ class IngestEngine:
         fail_after_batches: int | None = None,  # test hook: crash injection
         fail_point: str = "before_commit",  # 'before_commit' | 'after_commit'
         collect_metrics: bool = True,
+        transform=None,  # (DataFrame -> DataFrame) payload transform, e.g.
+        # functions.transforms.normalize_payload — Arrow-vectorized, applied
+        # before dedup/merge (the engine's pandas-UDF extension point)
     ):
         self.spark = spark
         self.table_root = table_root
@@ -69,6 +72,7 @@ class IngestEngine:
         self.fail_after_batches = fail_after_batches
         self.fail_point = fail_point
         self.collect_metrics = collect_metrics
+        self.transform = transform
         self.metrics = IngestMetrics()
 
     # ------------------------------------------------------------------ table
@@ -109,6 +113,9 @@ class IngestEngine:
         if self.routing_filter:
             # reference F3 routing filter (PostgresqlStorage.java:448-454)
             df = df.filter(F.col("routing_id").isin(self.routing_filter))
+        if self.transform is not None:
+            # Arrow-vectorized payload transform (pandas UDF, no per-row Python)
+            df = self.transform(df)
 
         # Per-routing-partition high watermarks: tiny aggregate (<= #partitions
         # rows) collected on the driver and committed WITH the data.
