@@ -125,12 +125,21 @@ def merge_change_batch(
     batch_df: DataFrame,
     batch_id: int,
     writer_id: str = "cdc",
-    salt: int = 16,
+    salt: int = 0,
     extra_txn: dict | None = None,
     lineage_rows: list[dict] | None = None,
     pipe_state: str | None = None,
 ) -> MergeResult:
-    """Apply one micro-batch of change events. Idempotent by (writer_id, batch_id)."""
+    """Apply one micro-batch of change events. Idempotent by (writer_id, batch_id).
+
+    LWW dedup is FOLDED INTO the merge aggregation: one groupBy(key).max_by over
+    stored ∪ incoming resolves intra-batch duplicates and cross-batch precedence
+    in a single shuffle. Hash aggregation's map-side partial combine already
+    collapses hot keys per task (each reduce key receives at most one candidate
+    row per upstream task), which is the built-in form of salted pre-aggregation;
+    pass salt > 1 to add an explicit salted pre-collapse of the batch side for
+    pathological single-key duplicate storms (millions of versions of ONE
+    (conv_id, turn_idx) inside one batch)."""
     while True:
         snap = table.current()
         if snap.txn.get(writer_id, -1) >= batch_id:
@@ -138,18 +147,17 @@ def merge_change_batch(
 
         physical = snap.schema()
         src = normalize_events(batch_df, physical)
-        winners = lww_dedup(src, salt=salt).withColumn(
-            BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets)
-        )
+        if salt and salt > 1:
+            src = lww_dedup(src, salt=salt)
+        src = src.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))
 
-        # Manifest-level partition pruning: only buckets the batch touches are read.
-        affected = sorted(
-            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
-        )
+        # Manifest-level partition pruning: only buckets the batch touches are
+        # read. The bucket set is a cheap int-distinct over the raw batch.
+        affected = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
         target = table.read(buckets=affected, with_bucket_col=True)
 
-        # Cross-batch LWW: one winner per key over stored ∪ incoming.
-        combined = target.unionByName(winners)
+        # Cross-batch LWW: one winner per key over stored ∪ incoming, one shuffle.
+        combined = target.unionByName(src)
         row = F.struct(*[F.col(c) for c in combined.columns]).alias("_row")
         ordk = F.struct(*[F.col(c) for c in ORDER_COLS])
         merged = (
@@ -161,12 +169,16 @@ def merge_change_batch(
         # Wave 2 guard: a conversation-level tombstone cascades to every turn of
         # that conversation that is older than the delete (re-created conversations
         # keep their newer turns). Tombstone rows themselves stay until compaction.
-        conv_tombs = merged.filter(
-            F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX)
+        # Built from `combined` pre-filtered to the -2 sentinel keys: a tiny
+        # dimension computed by its own cheap plan, so the broadcast build does
+        # not re-run (or force caching of) the full merge aggregation.
+        tomb_rows = combined.filter(F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX))
+        conv_tombs = tomb_rows.groupBy("conv_id").agg(
+            F.max(F.struct(F.col("ts"), F.col("_lsn"))).alias("_t")
         ).select(
             F.col("conv_id").alias("_t_conv"),
-            F.col("ts").alias("_t_ts"),
-            F.col("_lsn").alias("_t_lsn"),
+            F.col("_t.ts").alias("_t_ts"),
+            F.col("_t._lsn").alias("_t_lsn"),
         )
         guarded = (
             merged.join(

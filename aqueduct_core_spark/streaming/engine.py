@@ -50,7 +50,7 @@ class IngestEngine:
         table_root: str,
         checkpoint_dir: str,
         n_buckets: int = 16,
-        salt: int = 16,
+        salt: int = 0,  # >1 = explicit salted pre-collapse for duplicate storms
         writer_id: str = "cdc",
         routing_filter: list[int] | None = None,
         entity_filter: list[str] | None = None,

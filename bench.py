@@ -112,7 +112,7 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         table_root=os.path.join(work_dir, "tbl"),
         checkpoint_dir=os.path.join(work_dir, "ckpt"),
         n_buckets=n_buckets,
-        salt=16,
+        salt=int(os.environ.get("AQ_BENCH_SALT", "0")),
     )
     t0 = time.perf_counter()
     eng.run(log_dir, max_files_per_trigger=mfpt)

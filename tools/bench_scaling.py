@@ -42,23 +42,24 @@ def run_one(cpus: int, n_events: int) -> dict:
 
 
 def main():
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    lo, hi = 8, 32
-    r_lo = run_one(lo, n_events)["cdc_replay"]
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    lo = int(os.environ.get("AQ_SCALE_LO", "4"))
+    hi = int(os.environ.get("AQ_SCALE_HI", "16"))
+    r_lo = run_one(lo, n_events)["cdc_replay"]  # fresh JVM per run
     r_hi = run_one(hi, n_events)["cdc_replay"]
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     result = {
-        "metric": "CDC replay scaling efficiency local[8] -> local[32]",
+        "metric": f"CDC replay scaling efficiency local[{lo}] -> local[{hi}]",
         "n_events": n_events,
-        "local8": r_lo,
-        "local32": r_hi,
+        f"local{lo}": r_lo,
+        f"local{hi}": r_hi,
         "speedup": round(r_lo["sec"] / r_hi["sec"], 3),
         "efficiency": round(eff, 3),
         "pass": eff >= 0.8,
     }
     print(json.dumps(result))
 
-    md = f"""# BENCH — scaling evidence (local[8] vs local[32])
+    md = f"""# BENCH — scaling evidence (local[{lo}] vs local[{hi}])
 
 Same job, same tmpfs-resident {n_events:,}-event deterministic feed (seed 42),
 fresh JVM per run. The replay is the full apply path: streaming source ->
@@ -67,13 +68,13 @@ lineage.
 
 | parallelism | events | wall sec | events/sec |
 |---|---|---|---|
-| local[8]  | {r_lo['events']:,} | {r_lo['sec']} | {r_lo['events_per_sec']:,} |
-| local[32] | {r_hi['events']:,} | {r_hi['sec']} | {r_hi['events_per_sec']:,} |
+| local[{lo}]  | {r_lo['events']:,} | {r_lo['sec']} | {r_lo['events_per_sec']:,} |
+| local[{hi}] | {r_hi['events']:,} | {r_hi['sec']} | {r_hi['events_per_sec']:,} |
 
-speedup = {result['speedup']}x over a 4x core increase ->
+speedup = {result['speedup']}x over a {hi//lo}x core increase ->
 **scaling efficiency = {result['efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
 
-Extrapolation to the 10^10-event target: at local[32] sustained
+Extrapolation to the 10^10-event target: at local[{hi}] sustained
 {r_hi['events_per_sec']:,} events/s this single node replays 10^10 events in
 ~{round(1e10 / max(r_hi['events_per_sec'], 1) / 3600, 1)} h; the engine's shuffle
 keys (bucketed conv_id) and manifest-pruned MERGE mean a 1000-executor cluster
