@@ -87,15 +87,6 @@ def token_jaccard_pairs(
 
 
 # ------------------------------------------------------------------ minhash
-def _shingles(text_col, n: int):
-    toks = tokens(text_col)
-    k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))  # short docs -> 1 shingle
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
@@ -105,10 +96,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for seed s, min over shingles of
     xxhash64(shingle, s). Pure JVM aggregates over one explode — no UDF.
-    Output: (id, sig array<long>)."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    Output: (id, sig array<long>).
+
+    Tokens are materialized as a column before shingling (see
+    text.shingle_array for why), and the input is repartitioned first:
+    document tables often arrive as one parquet row group (one task) and
+    shingling is the expensive per-row stage."""
+    from aqueduct_core_spark.functions.text import shingle_array
+
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(spread)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .select("id", F.explode(shingle_array(F.col("_toks"), shingle_n)).alias("sh"))
     )
     mins = [F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"h{s}") for s in range(num_hashes)]
     agg = ex.groupBy("id").agg(*mins)
@@ -116,12 +116,20 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 8, verify_threshold: float | None = 0.7
+    sig_df: DataFrame,
+    bands: int = 8,
+    verify_threshold: float | None = 0.7,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Band the signatures into buckets; pairs sharing any band-bucket are
     candidates. Estimated Jaccard = fraction of matching signature positions.
     Near-linear: the only shuffles are the band-bucket groupBy and the pair
-    dedup — no all-pairs comparison ever materializes."""
+    dedup — no all-pairs comparison ever materializes.
+
+    max_bucket_size drops over-common buckets (a band value shared by more
+    than N docs): such buckets are low-signal (stopword-like shingles) and
+    quadratic to expand — the standard production guard that keeps LSH
+    near-linear under adversarial corpora. Pass None to disable."""
     n = len(sig_df.select("sig").first()["sig"])
     rows_per_band = n // bands
     banded = sig_df.select(
@@ -145,6 +153,20 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+    # the signature pipeline (explode shingles + N min-aggs) is expensive and
+    # feeds the bucket-count side, the semi-join probe, and both self-join
+    # sides — cache the tiny banded table (n_docs x bands rows) so it runs once
+    banded = banded.persist()
+    if max_bucket_size is not None:
+        w_count = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        # plain semi-join (AQE broadcasts when small; at 100 TB the bucket-count
+        # side can be huge, so no forced broadcast)
+        banded = banded.join(w_count, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -186,7 +208,8 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """64-bit SimHash per document: per bit j, sum +-1 over token-frequency-
     weighted token hashes; bit j set iff the sum is positive. All JVM-side
     (explode + 64 conditional sums + bit reassembly). Output: (id, simhash)."""
-    ex = df.select(
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    ex = df.repartition(spread).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))
@@ -203,10 +226,16 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select("id", acc.alias("simhash"))
 
 
-def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+def simhash_near_pairs(
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
     """Near-duplicate pairs by SimHash: band the 64 bits into `bands` chunks;
     any pair within hamming distance < bands must share a chunk (pigeonhole),
-    so candidates come from chunk-equality joins only."""
+    so candidates come from chunk-equality joins only. Over-common chunks are
+    dropped (same near-linearity guard as MinHash LSH)."""
     width = 64 // bands
     chunks = sim_df.select(
         "id",
@@ -223,6 +252,15 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, bands: int = 4) 
             ])
         ).alias("bc"),
     ).select("id", "simhash", "bc.band", "bc.chunk")
+    chunks = chunks.persist()  # same reuse pattern as lsh_candidate_pairs
+    if max_bucket_size is not None:
+        ok = (
+            chunks.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "chunk")
+        )
+        chunks = chunks.join(ok, ["band", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -130,11 +130,14 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("AQ_BENCH_EVENTS", "1000000"))
+    n_events = int(os.environ.get("AQ_BENCH_EVENTS", "2000000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else math.nan
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # JIT/codegen warmup so the first measured query isn't charged for JVM spin-up
+    spark.range(1_000_000).selectExpr("sum(xxhash64(id) % 100000)").collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(10).collect()
 
     queries = (
         {} if os.environ.get("AQ_BENCH_ONLY_REPLAY") == "1" else run_headline(spark, sf_dir)
