@@ -145,60 +145,36 @@ def merge_change_batch(
         if snap.txn.get(writer_id, -1) >= batch_id:
             return MergeResult(batch_id, True, None, [])
 
+        mode = snap.properties.get("merge_mode", "cow")
         physical = snap.schema()
         src = normalize_events(batch_df, physical)
         if salt and salt > 1:
             src = lww_dedup(src, salt=salt)
         src = src.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))
 
-        # Manifest-level partition pruning: only buckets the batch touches are
-        # read. The bucket set is a cheap int-distinct over the raw batch.
-        affected = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
-        target = table.read(buckets=affected, with_bucket_col=True)
-
-        # Cross-batch LWW: one winner per key over stored ∪ incoming, one shuffle.
-        combined = target.unionByName(src)
-        row = F.struct(*[F.col(c) for c in combined.columns]).alias("_row")
-        ordk = F.struct(*[F.col(c) for c in ORDER_COLS])
-        merged = (
-            combined.groupBy(*KEY_COLS)
-            .agg(F.max_by(row, ordk).alias("_w"))
-            .select("_w.*")
-        )
-
-        # Wave 2 guard: a conversation-level tombstone cascades to every turn of
-        # that conversation that is older than the delete (re-created conversations
-        # keep their newer turns). Tombstone rows themselves stay until compaction.
-        # Built from `combined` pre-filtered to the -2 sentinel keys: a tiny
-        # dimension computed by its own cheap plan, so the broadcast build does
-        # not re-run (or force caching of) the full merge aggregation.
-        tomb_rows = combined.filter(F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX))
-        conv_tombs = tomb_rows.groupBy("conv_id").agg(
-            F.max(F.struct(F.col("ts"), F.col("_lsn"))).alias("_t")
-        ).select(
-            F.col("conv_id").alias("_t_conv"),
-            F.col("_t.ts").alias("_t_ts"),
-            F.col("_t._lsn").alias("_t_lsn"),
-        )
-        guarded = (
-            merged.join(
-                F.broadcast(conv_tombs),
-                merged["conv_id"] == conv_tombs["_t_conv"],
-                "left",
+        if mode == "mor":
+            # Merge-on-read (the reference's own shape: the edge store APPENDS
+            # every message and compacts separately, SQLiteStorage.java:134-171
+            # + compactUpTo). The batch is deduped within itself and appended as
+            # DELTA files — no target scan, no rewrite; LWW resolution happens
+            # at read time (resolve_lww) and compaction folds deltas into base.
+            # Write amplification per batch: exactly the batch, nothing else.
+            resolved_batch = resolve_lww(src)
+            new_files = table.write_files(resolved_batch, snap, kind="delta")
+            keep = list(snap.files)
+            affected = sorted({f["bucket"] for f in new_files})
+        else:
+            # Copy-on-write: only buckets the batch touches are read (manifest
+            # pruning; the bucket set is a cheap int-distinct over the batch)
+            # and rewritten fully — reads stay resolution-free.
+            affected = sorted(
+                r[0] for r in src.select(BUCKET_COL).distinct().collect()
             )
-            .filter(
-                (F.col("turn_idx") < F.lit(0))  # sentinel rows always survive
-                | F.col("_t_conv").isNull()
-                | (
-                    F.struct(F.col("ts"), F.col("_lsn"))
-                    > F.struct(F.col("_t_ts"), F.col("_t_lsn"))
-                )
-            )
-            .select(*[F.col(c) for c in combined.columns])
-        )
+            target = table.read(buckets=affected, with_bucket_col=True)
+            guarded = resolve_lww(target.unionByName(src))
+            new_files = table.write_files(guarded, snap)
+            keep = [f for f in snap.files if f["bucket"] not in set(affected)]
 
-        new_files = table.write_files(guarded, snap)
-        keep = [f for f in snap.files if f["bucket"] not in set(affected)]
         txn = dict(snap.txn)
         txn[writer_id] = batch_id
         if extra_txn:
@@ -237,3 +213,59 @@ def merge_change_batch(
             return MergeResult(batch_id, False, nxt.version, list(affected))
         except CommitConflict:
             continue  # optimistic retry, same as Iceberg commit conflicts
+
+
+def resolve_lww(df: DataFrame) -> DataFrame:
+    """Resolve raw physical rows (possibly many versions per key) into the
+    LWW-consistent row set: one winner per key by (ts, _lsn), then the
+    conversation-tombstone cascade (wave-2 guard). Tombstone/sentinel rows
+    survive resolution — the read view filters them; compaction purges them.
+
+    Shared by the COW merge (applied at write), the MOR read path (applied at
+    read over base ∪ delta files), and compaction (folds deltas into base)."""
+    row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+    ordk = F.struct(*[F.col(c) for c in ORDER_COLS])
+    merged = (
+        df.groupBy(*KEY_COLS).agg(F.max_by(row, ordk).alias("_w")).select("_w.*")
+    )
+
+    # Conversation-delete cascade: every turn older than the latest
+    # conversation delete is gone; newer turns (re-created conversation)
+    # survive. Built from a pre-filtered plan so the broadcast build does not
+    # re-run the full aggregation.
+    tomb_rows = df.filter(F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX))
+    conv_tombs = (
+        tomb_rows.groupBy("conv_id")
+        .agg(F.max(F.struct(F.col("ts"), F.col("_lsn"))).alias("_t"))
+        .select(
+            F.col("conv_id").alias("_t_conv"),
+            F.col("_t.ts").alias("_t_ts"),
+            F.col("_t._lsn").alias("_t_lsn"),
+        )
+    )
+    return (
+        merged.join(
+            F.broadcast(conv_tombs), merged["conv_id"] == conv_tombs["_t_conv"], "left"
+        )
+        .filter(
+            (F.col("turn_idx") < F.lit(0))  # sentinel rows always survive
+            | F.col("_t_conv").isNull()
+            | (
+                F.struct(F.col("ts"), F.col("_lsn"))
+                > F.struct(F.col("_t_ts"), F.col("_t_lsn"))
+            )
+        )
+        .select(*[F.col(c) for c in df.columns])
+    )
+
+
+def read_resolved(
+    table: LakeTable, version: int | None = None, buckets=None, with_bucket_col: bool = False
+) -> DataFrame:
+    """Snapshot read with MOR resolution: raw rows if the snapshot holds only
+    base files (COW — already resolved at write), else resolve_lww over
+    base ∪ delta."""
+    snap = table.current() if version is None else table.snapshot_at(version)
+    df = table.read(buckets=buckets, version=version, with_bucket_col=with_bucket_col)
+    has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
+    return resolve_lww(df) if has_delta else df

@@ -197,7 +197,7 @@ class LakeTable:
         return df
 
     # ---------------------------------------------------------------- write
-    def write_files(self, df: DataFrame, snap: Snapshot) -> list[dict]:
+    def write_files(self, df: DataFrame, snap: Snapshot, kind: str = "base") -> list[dict]:
         """Write df (must carry BUCKET_COL) as one commit's data files; returns file
         entries for the manifest. Distributed write, driver-side enumeration only."""
         commit_id = uuid.uuid4().hex[:12]
@@ -224,6 +224,7 @@ class LakeTable:
                             "bucket": b,
                             "schema_id": snap.current_schema_id,
                             "rows": None,
+                            "kind": kind,  # base | delta (merge-on-read)
                         }
                     )
         return entries

@@ -41,14 +41,20 @@ def compact_table(
 
     Mirrors the reference's deletion retention: tombstones younger than the
     threshold stay so that late/straggler readers still observe the delete
-    (PostgresqlStorage.java:394-408; prod threshold 30 d)."""
+    (PostgresqlStorage.java:394-408; prod threshold 30 d).
+
+    On a merge-on-read table this is ALSO the delta-fold: resolution runs once
+    and the result is written back as base files, so reads go resolution-free
+    again (the reference's compactUpTo over its append-only edge store)."""
+    from aqueduct_core_spark.lake.merge import read_resolved
+
     while True:
         snap = table.current()
-        df = table.read(with_bucket_col=True)
+        df = read_resolved(table, with_bucket_col=True)
         kept = df.filter(
             ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
         )
-        new_files = table.write_files(kept, snap)
+        new_files = table.write_files(kept, snap, kind="base")
         nxt = Snapshot(
             version=snap.version + 1,
             current_schema_id=snap.current_schema_id,
@@ -81,8 +87,13 @@ def rewrite_small_files(table: LakeTable, target_files_per_bucket: int = 1) -> i
             by_bucket[f["bucket"]] = by_bucket.get(f["bucket"], 0) + 1
         if all(n <= target_files_per_bucket for n in by_bucket.values()):
             return snap.version
-        df = table.read(with_bucket_col=True)
-        new_files = table.write_files(df.repartition(snap.n_buckets, F.col(BUCKET_COL)), snap)
+        from aqueduct_core_spark.lake.merge import read_resolved
+
+        # resolve while rewriting (a MOR table's delta files fold into base here)
+        df = read_resolved(table, with_bucket_col=True)
+        new_files = table.write_files(
+            df.repartition(snap.n_buckets, F.col(BUCKET_COL)), snap, kind="base"
+        )
         nxt = Snapshot(
             version=snap.version + 1,
             current_schema_id=snap.current_schema_id,

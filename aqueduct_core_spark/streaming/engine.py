@@ -50,6 +50,8 @@ class IngestEngine:
         table_root: str,
         checkpoint_dir: str,
         n_buckets: int = 16,
+        merge_mode: str = "cow",  # cow = rewrite touched buckets per batch;
+        # mor = blind-append delta files, resolve at read, fold at compaction
         salt: int = 0,  # >1 = explicit salted pre-collapse for duplicate storms
         writer_id: str = "cdc",
         routing_filter: list[int] | None = None,
@@ -65,6 +67,7 @@ class IngestEngine:
         self.table_root = table_root
         self.checkpoint_dir = checkpoint_dir
         self.n_buckets = n_buckets
+        self.merge_mode = merge_mode
         self.salt = salt
         self.writer_id = writer_id
         self.routing_filter = routing_filter
@@ -85,6 +88,7 @@ class IngestEngine:
             TRANSCRIPT_PHYSICAL_SCHEMA,
             bucket_key="conv_id",
             n_buckets=self.n_buckets,
+            properties={"merge_mode": self.merge_mode},
         )
 
     def bootstrap(self) -> None:

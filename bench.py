@@ -107,11 +107,13 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     )
     write_segments(feed, log_dir, n_segments=n_segments)
 
+    mode = os.environ.get("AQ_BENCH_MODE", "cow")
     eng = IngestEngine(
         spark,
         table_root=os.path.join(work_dir, "tbl"),
         checkpoint_dir=os.path.join(work_dir, "ckpt"),
         n_buckets=n_buckets,
+        merge_mode=mode,
         salt=int(os.environ.get("AQ_BENCH_SALT", "0")),
     )
     t0 = time.perf_counter()
@@ -124,6 +126,7 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         "batches": eng.metrics.batches_applied,
         "segments": n_segments,
         "buckets": n_buckets,
+        "mode": mode,
     }
 
 
