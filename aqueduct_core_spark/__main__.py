@@ -1,0 +1,134 @@
+"""spark-submit entrypoint for the ingest engine.
+
+Usage (local or cluster — identical code path, the master/executors come from
+spark-submit):
+
+    spark-submit --py-files aqueduct_core_spark.zip \\
+        -m aqueduct_core_spark ingest \\
+        --log /data/change_log --table /lake/transcripts \\
+        --checkpoint /ckpt/transcripts --mode mor --buckets 256 \\
+        --max-files-per-trigger 64 [--continuous 30s] [--normalize]
+
+    python -m aqueduct_core_spark compact --table /lake/transcripts \\
+        --retain-tombstones-until "2024-01-01 00:00:00"
+
+    python -m aqueduct_core_spark status --table /lake/transcripts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app).config("spark.sql.session.timeZone", "UTC")
+    # master comes from spark-submit on a cluster; default local for dev
+    return b.config("spark.sql.adaptive.enabled", "true").getOrCreate()
+
+
+def cmd_ingest(args) -> int:
+    from aqueduct_core_spark.streaming.engine import IngestEngine
+
+    spark = _spark("aqueduct-ingest")
+    transform = None
+    if args.normalize:
+        from aqueduct_core_spark.functions.transforms import normalize_payload
+
+        transform = normalize_payload
+    eng = IngestEngine(
+        spark,
+        table_root=args.table,
+        checkpoint_dir=args.checkpoint,
+        n_buckets=args.buckets,
+        merge_mode=args.mode,
+        routing_filter=[int(x) for x in args.routing.split(",")] if args.routing else None,
+        entity_filter=args.entities.split(",") if args.entities else None,
+        transform=transform,
+    )
+    if args.continuous:
+        q = eng.run(
+            args.log,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=False,
+            processing_time=args.continuous,
+        )
+        q.awaitTermination()
+    else:
+        eng.run(args.log, max_files_per_trigger=args.max_files_per_trigger)
+    print(json.dumps({"batches_applied": eng.metrics.batches_applied,
+                      "pipe_state": eng.pipe_state()}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from aqueduct_core_spark.lake.table import LakeTable
+    from aqueduct_core_spark.maintenance import compact_table
+
+    spark = _spark("aqueduct-compact")
+    stats = compact_table(
+        LakeTable(spark, args.table),
+        tombstone_retention_ts=args.retain_tombstones_until,
+        keep_snapshots=args.keep_snapshots,
+    )
+    print(json.dumps({"version": stats.version, "removed_snapshots": stats.removed_snapshots}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from aqueduct_core_spark.lake.table import LakeTable
+
+    spark = _spark("aqueduct-status")
+    snap = LakeTable(spark, args.table).current()
+    print(
+        json.dumps(
+            {
+                "version": snap.version,
+                "files": len(snap.files),
+                "delta_files": sum(1 for f in snap.files if f.get("kind") == "delta"),
+                "mode": snap.properties.get("merge_mode", "cow"),
+                "pipe_state": snap.properties.get("pipe_state", "UNKNOWN"),
+                "txn": snap.txn,
+                "lineage": snap.properties.get("lineage", {}),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="aqueduct_core_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="tail a change log into the transcript table")
+    pi.add_argument("--log", required=True)
+    pi.add_argument("--table", required=True)
+    pi.add_argument("--checkpoint", required=True)
+    pi.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    pi.add_argument("--buckets", type=int, default=64)
+    pi.add_argument("--max-files-per-trigger", type=int, default=64)
+    pi.add_argument("--continuous", default=None, help="processing-time trigger, e.g. 30s")
+    pi.add_argument("--routing", default=None, help="comma-separated routing ids")
+    pi.add_argument("--entities", default=None, help="comma-separated entity filter")
+    pi.add_argument("--normalize", action="store_true", help="Arrow payload normalization")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pc = sub.add_parser("compact", help="fold deltas + purge aged tombstones")
+    pc.add_argument("--table", required=True)
+    pc.add_argument("--retain-tombstones-until", required=True)
+    pc.add_argument("--keep-snapshots", type=int, default=2)
+    pc.set_defaults(fn=cmd_compact)
+
+    ps = sub.add_parser("status", help="snapshot/lineage/pipe-state report")
+    ps.add_argument("--table", required=True)
+    ps.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from aqueduct_core_spark.lake.merge import merge_change_batch
 from aqueduct_core_spark.lake.table import LakeTable
+from pyspark.sql.types import StructField, StructType
+
 from aqueduct_core_spark.schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_PHYSICAL_SCHEMA
 
 
@@ -53,7 +55,10 @@ class IngestEngine:
         merge_mode: str = "cow",  # cow = rewrite touched buckets per batch;
         # mor = blind-append delta files, resolve at read, fold at compaction
         salt: int = 0,  # >1 = explicit salted pre-collapse for duplicate storms
-        writer_id: str = "cdc",
+        writer_id: str | None = None,  # default: scoped to the checkpoint dir —
+        # a NEW streaming query restarts batch ids at 0, so the idempotence
+        # watermark must be per-query, not global (else fresh queries are
+        # wrongly skipped by an older query's txn register)
         routing_filter: list[int] | None = None,
         entity_filter: list[str] | None = None,
         fail_after_batches: int | None = None,  # test hook: crash injection
@@ -69,6 +74,11 @@ class IngestEngine:
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
         self.salt = salt
+        if writer_id is None:
+            import hashlib
+
+            digest = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+            writer_id = f"cdc-{digest}"
         self.writer_id = writer_id
         self.routing_filter = routing_filter
         self.entity_filter = entity_filter
@@ -165,8 +175,16 @@ class IngestEngine:
     ):
         """Start the ingest stream. With available_now=True, drains the feed and
         marks the pipe UP_TO_DATE (reference PipeState, PipeState.java:3-5)."""
-        self.ensure_table()
-        reader = self.spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        table = self.ensure_table()
+        # evolve-then-write: the feed schema follows the table — any evolved
+        # user column (beyond the base change-event fields) is read from the
+        # feed too, as nullable (old segments without it read as NULL)
+        feed_schema = StructType(list(CHANGE_EVENT_SCHEMA.fields))
+        base_names = {f.name for f in CHANGE_EVENT_SCHEMA.fields}
+        for f in table.current().schema().fields:
+            if not f.name.startswith("_") and f.name not in base_names:
+                feed_schema.add(StructField(f.name, f.dataType, True))
+        reader = self.spark.readStream.schema(feed_schema)
         if max_files_per_trigger is not None:
             # batch admission control <-> reference read limit + byte cap (W1/O2)
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

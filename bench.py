@@ -107,7 +107,7 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     )
     write_segments(feed, log_dir, n_segments=n_segments)
 
-    mode = os.environ.get("AQ_BENCH_MODE", "cow")
+    mode = os.environ.get("AQ_BENCH_MODE", "mor")
     eng = IngestEngine(
         spark,
         table_root=os.path.join(work_dir, "tbl"),

@@ -72,7 +72,7 @@ def test_crash_between_commit_and_checkpoint_is_exactly_once(spark, feed_dir, tm
                        fail_point="after_commit")
     with pytest.raises(Exception):
         eng.run(feed_dir, max_files_per_trigger=1)
-    committed_batch = LakeTable(spark, root).current().txn.get("cdc")
+    committed_batch = LakeTable(spark, root).current().txn.get(eng.writer_id)
     eng2 = IngestEngine(spark, root, ckpt, n_buckets=8)
     eng2.run(feed_dir, max_files_per_trigger=1)
     assert eng2.metrics.batches_skipped >= 1  # the replayed batch was skipped

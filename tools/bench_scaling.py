@@ -82,7 +82,8 @@ partitions the same plan without new coordination points — throughput scales
 with executors until the sink's commit rate (one manifest CAS per micro-batch,
 driver-side O(files) JSON) becomes the limit, far beyond 4N.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # raw run record; BENCH.md is curated by hand from these
+    with open(os.path.join(REPO, "BENCH_SCALING_RUN.md"), "w") as f:
         f.write(md)
 
 
