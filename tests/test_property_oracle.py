@@ -1,0 +1,61 @@
+"""Property-based check: ANY log under ANY batching equals the oracle.
+
+Hypothesis generates adversarial little logs (duplicate LSN redeliveries,
+ts ties, conversation deletes interleaved with re-creations) and a random
+batch split; the merged table must equal the dict-replay oracle. Few examples
+(each spins Spark jobs) but with shrinking — regressions minimize themselves.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aqueduct_core_spark.lake.merge import merge_change_batch
+from aqueduct_core_spark.lake.table import LakeTable
+from aqueduct_core_spark.oracle import replay
+from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+from aqueduct_core_spark.transcripts import read_transcripts
+
+from tests.util import ev, events_df
+
+
+@st.composite
+def event_logs(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    events = []
+    for lsn in range(1, n + 1):
+        conv = f"c{draw(st.integers(0, 3))}"
+        is_conv = draw(st.booleans()) and draw(st.booleans())  # ~25% conv-level
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        t = draw(st.integers(0, 30))  # coarse ts -> frequent ties (lsn tiebreak)
+        if is_conv:
+            events.append(ev(lsn, op=op, entity="conversation", conv=conv, t=t))
+        else:
+            events.append(ev(lsn, op=op, conv=conv, turn=draw(st.integers(0, 2)), t=t))
+        if draw(st.booleans()) and draw(st.booleans()):  # redelivery of the same event
+            events.append(dict(events[-1]))
+    cut = sorted(draw(st.sets(st.integers(1, max(1, len(events) - 1)), max_size=3)))
+    return events, cut
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_logs(), st.sampled_from(["cow", "mor"]))
+def test_any_log_any_batching_equals_oracle(spark, tmp_path_factory, case, mode):
+    events, cuts = case
+    d = str(tmp_path_factory.mktemp("prop"))
+    table = LakeTable.create(
+        spark, d, TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+        n_buckets=4, properties={"merge_mode": mode},
+    )
+    bounds = [0] + [c for c in cuts if c < len(events)] + [len(events)]
+    for i in range(len(bounds) - 1):
+        chunk = events[bounds[i] : bounds[i + 1]]
+        if chunk:
+            merge_change_batch(table, events_df(spark, chunk), batch_id=i)
+    got = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_transcripts(table).orderBy("conv_id", "turn_idx").collect()
+    ]
+    want = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(events)]
+    assert got == want

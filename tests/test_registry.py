@@ -1,0 +1,92 @@
+"""Binary distribution-tree semantics, ported from the reference's
+NodeGroup/SubNodeGroup specs (registry-core/src/test/...)."""
+
+from __future__ import annotations
+
+from aqueduct_core_spark.registry import Generation, NodeGroup, RegistryNode, Status
+
+CLOUD = "http://cloud"
+
+
+def node(i, status=Status.OK, gen=Generation.STRATEGIC, seen=100.0):
+    return RegistryNode(
+        host=f"h{i}", local_url=f"http://h{i}", status=status, generation=gen, last_seen=seen
+    )
+
+
+def make_group(n):
+    g = NodeGroup(CLOUD)
+    for i in range(n):
+        g.register(node(i))
+    return g
+
+
+def test_first_node_follows_cloud():
+    g = make_group(1)
+    assert g.follow_chain("h0") == [CLOUD]
+
+
+def test_binary_tree_shape():
+    # node i's parent is ((i+1)//2)-1 (SubNodeGroup.java:53-65):
+    # h1,h2 -> h0; h3,h4 -> h1; h5,h6 -> h2; chain carries the parent's chain
+    g = make_group(7)
+    assert g.follow_chain("h1") == ["http://h0", CLOUD]
+    assert g.follow_chain("h2") == ["http://h0", CLOUD]
+    assert g.follow_chain("h3") == ["http://h1", "http://h0", CLOUD]
+    assert g.follow_chain("h4") == ["http://h1", "http://h0", CLOUD]
+    assert g.follow_chain("h5") == ["http://h2", "http://h0", CLOUD]
+    assert g.follow_chain("h6") == ["http://h2", "http://h0", CLOUD]
+    assert g.tree_depth() == 3
+
+
+def test_reregistration_keeps_position():
+    g = make_group(3)
+    updated = g.register(node(1, status=Status.FOLLOWING))
+    assert updated.requested_to_follow == ["http://h0", CLOUD]
+    assert [n.host for n in g.nodes] == ["h0", "h1", "h2"]
+
+
+def test_remove_rebalances_tree():
+    # NodeRegistryControllerV2IntegrationSpec.groovy:326 — deleting a node
+    # rebalances: survivors shift up and follow chains recompute
+    g = make_group(4)
+    assert g.remove("h0")
+    assert [n.host for n in g.nodes] == ["h1", "h2", "h3"]
+    assert g.follow_chain("h1") == [CLOUD]
+    assert g.follow_chain("h2") == ["http://h1", CLOUD]
+    assert g.follow_chain("h3") == ["http://h1", CLOUD]
+    assert not g.remove("nope")
+
+
+def test_offline_nodes_sorted_to_leaves():
+    # NodeRegistryControllerV2IntegrationSpec.groovy:364 — offline nodes move
+    # to the leaves so live nodes serve near the root
+    g = make_group(4)
+    g.nodes[0] = RegistryNode(
+        host="h0", local_url="http://h0", status=Status.OFFLINE, last_seen=100.0
+    )
+    g.sort_nodes()
+    assert [n.host for n in g.nodes] == ["h1", "h2", "h3", "h0"]
+    assert g.follow_chain("h1") == [CLOUD]
+    # offline leaf (index 3) hangs under index 1 (h2), chain up to the cloud
+    assert g.follow_chain("h0") == ["http://h2", "http://h1", CLOUD]
+
+
+def test_legacy_generation_after_strategic():
+    g = NodeGroup(CLOUD)
+    g.register(node(0, gen=Generation.LEGACY))
+    g.register(node(1, gen=Generation.STRATEGIC))
+    g.sort_nodes()
+    assert [n.host for n in g.nodes] == ["h1", "h0"]
+
+
+def test_mark_and_remove_offline_thresholds():
+    # 25 m mark / 7 d remove thresholds (application.yml registry block)
+    g = NodeGroup(CLOUD)
+    g.register(node(0, seen=50.0))
+    g.register(node(1, seen=10.0))   # stale -> mark offline
+    g.register(node(2, seen=1.0))    # very stale -> removed
+    g.handle_offline(mark_before=20.0, remove_before=5.0)
+    assert {n.host: n.status for n in g.nodes} == {
+        "h0": Status.OK, "h1": Status.OFFLINE,
+    }
