@@ -343,6 +343,39 @@ def q_ann_neardup_lsh(spark, sf_dir):
     return ann_neardup_pairs(emb, dim=64, threshold=NEARDUP_T, nbits=8)
 
 
+def q_dataset_user_history(spark, sf_dir):
+    """Conversation-pack analog on the events log: each user's event-type
+    history concatenated in LSN order (stable-ordering aggregation — the same
+    plan shape as pipeline.pack_conversations)."""
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    item = F.struct(F.col("event_id"), F.col("event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(item)).alias("_h"))
+        .select(
+            "user_id",
+            F.array_join(F.transform("_h", lambda s: s["event_type"]), ">").alias("history"),
+            F.size("_h").alias("n_events"),
+        )
+    )
+
+
+def q_dataset_shard_plan(spark, sf_dir):
+    """Token-budgeted shard planning over documents (pipeline.plan_shards)."""
+    _conf(spark)
+    from pyspark.sql import Window
+
+    docs = _t("documents")(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return docs.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2000)).cast("int"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     _conf(spark)
     from aqueduct_core_spark.functions.multimodal import extract_features, synthetic_media
@@ -381,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_neardup_exact": q_ann_neardup_exact,
+        "dataset_user_history": q_dataset_user_history,
+        "dataset_shard_plan": q_dataset_shard_plan,
         # Spark-only scale paths (no SQL twin -> rows-only check)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -557,6 +592,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) >= {JACCARD_T}
+        """,
+        "dataset_user_history": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY event_id) AS history,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "dataset_shard_plan": f"""
+            SELECT doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 2000.0) AS INT)
+                       AS shard_id
+            FROM (SELECT doc_id, len(regexp_extract_all(lower(text), {_TOKEN_SQL})) AS n_tokens
+                  FROM documents) t
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -1,0 +1,79 @@
+"""End-to-end: CDC-replayed transcript table -> training dataset shards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aqueduct_core_spark.feedgen import generate_change_feed, write_segments
+from aqueduct_core_spark.lake.table import LakeTable
+from aqueduct_core_spark.pipeline import (
+    build_training_dataset,
+    pack_conversations,
+    plan_shards,
+)
+from aqueduct_core_spark.streaming.engine import IngestEngine
+from aqueduct_core_spark.transcripts import read_transcripts
+
+from tests.util import ev, events_df
+
+
+def test_pack_preserves_turn_order(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        __import__("aqueduct_core_spark.schema", fromlist=["x"]).TRANSCRIPT_PHYSICAL_SCHEMA,
+        bucket_key="conv_id", n_buckets=4,
+    )
+    from aqueduct_core_spark.lake.merge import merge_change_batch
+
+    batch = [
+        ev(1, conv="A", turn=2, role="assistant", text="third"),
+        ev(2, conv="A", turn=0, role="user", text="first"),
+        ev(3, conv="A", turn=1, role="assistant", text="second"),
+    ]
+    merge_change_batch(t, events_df(spark, batch), batch_id=0)
+    packed = pack_conversations(read_transcripts(t)).collect()
+    assert packed[0]["document"] == "user: first\nassistant: second\nassistant: third"
+    assert packed[0]["n_turns"] == 3
+
+
+def test_full_dataset_build_from_replayed_feed(spark, tmp_path):
+    feed_dir = str(tmp_path / "feed")
+    feed = generate_change_feed(spark, 3000, 80, 8, seed=9, ts_jitter_s=10)
+    write_segments(feed, feed_dir, n_segments=3)
+    eng = IngestEngine(spark, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+                       n_buckets=8, merge_mode="mor")
+    eng.run(feed_dir, max_files_per_trigger=3)
+
+    transcripts = read_transcripts(LakeTable(spark, eng.table_root))
+    ds = build_training_dataset(transcripts, tokens_per_shard=500, min_quality=0.0)
+    rows = ds.orderBy("conv_id").collect()
+    assert rows, "dataset should not be empty"
+    # shard ids are contiguous from 0 and token budgets roughly respected
+    shard_tokens = {}
+    for r in rows:
+        shard_tokens.setdefault(r["shard_id"], 0)
+        shard_tokens[r["shard_id"]] += r["n_tokens"]
+    assert min(shard_tokens) == 0
+    assert sorted(shard_tokens) == list(range(len(shard_tokens)))
+    # every shard except possibly the last stays within budget + one document
+    max_doc = max(r["n_tokens"] for r in rows)
+    for sid, tok in shard_tokens.items():
+        if sid != max(shard_tokens):
+            assert tok <= 500 + max_doc
+    # documents are unique (exact dedup ran)
+    docs = [r["document"] for r in rows]
+    assert len(docs) == len(set(docs))
+
+
+def test_plan_shards_deterministic(spark):
+    df = spark.createDataFrame(
+        [(f"c{i}", 100) for i in range(10)], "conv_id string, n_tokens int"
+    )
+    a = [(r["conv_id"], r["shard_id"]) for r in plan_shards(df, 250).collect()]
+    b = [(r["conv_id"], r["shard_id"]) for r in plan_shards(df, 250).collect()]
+    assert a == b
+    sizes = {}
+    for _, s in a:
+        sizes[s] = sizes.get(s, 0) + 1
+    # floor((100*(i-1))/250) over i=1..10 -> shard sizes 3,2,3,2
+    assert sizes == {0: 3, 1: 2, 2: 3, 3: 2}
