@@ -133,7 +133,7 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("AQ_BENCH_EVENTS", "2000000"))
+    n_events = int(os.environ.get("AQ_BENCH_EVENTS", "8000000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else math.nan
 
     spark = build_spark(cpus)
