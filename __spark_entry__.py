@@ -376,6 +376,18 @@ def q_dataset_shard_plan(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: train centroids on a sample, probe 4 lists."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.ivf import assign_lists, ivf_topk, train_centroids
+
+    emb = _t("embeddings")(spark, sf_dir)
+    cents = train_centroids(emb, n_centroids=8, sample_size=1024, seed=42)
+    indexed = assign_lists(emb, cents)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(indexed, cents, [float(x) for x in qvec], k=TOPK, nprobe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     _conf(spark)
     from aqueduct_core_spark.functions.multimodal import extract_features, synthetic_media
@@ -420,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_neardup_lsh": q_ann_neardup_lsh,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
