@@ -178,6 +178,53 @@ def compact_log(
     return out.drop("_max_in_window")
 
 
+def mark_and_sweep_deletions(
+    df: DataFrame,
+    deletion_threshold_ts,
+    now_ts,
+    key_cols: Sequence[str] = DEFAULT_KEYS,
+    lsn: str = "change_lsn",
+    ts: str = "ts",
+    is_delete: Column | None = None,
+    cluster_col: str = "cluster_id",
+    routing_col: str = "routing_id",
+    ttl_col: str = "ttl",
+) -> DataFrame:
+    """Postgres-side deletion compaction, exactly the reference's two steps
+    (PostgresqlStorage.java:469-488):
+
+      1. MARK: for each (key, cluster) having a tombstone with
+         ts <= deletion_threshold AND cluster_id = routing_id (the routing
+         guard — deletes relinked to another routing partition must NOT
+         compact that partition's history,
+         PostgresqlStorageIntegrationSpec.groovy:335-370), stamp ttl = now on
+         every unstamped row of that key/cluster with lsn <= the latest such
+         tombstone.
+      2. SWEEP: drop rows whose ttl <= now (pre-stamped TTLs from earlier runs
+         expire on their own schedule).
+
+    Returns the surviving rows (ttl column preserved where already set)."""
+    d = _delete_col(df, is_delete)
+    has_ttl = ttl_col in df.columns
+    ttl = F.col(ttl_col) if has_ttl else F.lit(None).cast("timestamp")
+
+    last_del = (
+        df.filter(d & (F.col(ts) <= F.lit(deletion_threshold_ts))
+                  & (F.col(cluster_col) == F.col(routing_col)))
+        .groupBy(*[F.col(k).alias(f"_k_{k}") for k in key_cols],
+                 F.col(cluster_col).alias("_k_cluster"))
+        .agg(F.max(lsn).alias("_last_del"))
+    )
+    cond = (F.col(cluster_col) == F.col("_k_cluster"))
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_k_{k}"))
+    joined = df.join(F.broadcast(last_del), cond, "left")
+    marked = (ttl.isNull() & F.col("_last_del").isNotNull()
+              & (F.col(lsn) <= F.col("_last_del")))
+    expired = ttl.isNotNull() & (ttl <= F.lit(now_ts))
+    return joined.filter(~marked & ~expired).select(*[F.col(c) for c in df.columns])
+
+
 def latest_deletes(
     df: DataFrame,
     deletion_threshold_ts,
