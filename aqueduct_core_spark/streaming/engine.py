@@ -172,6 +172,7 @@ class IngestEngine:
         available_now: bool = True,
         processing_time: str | None = None,
         timeout_s: float | None = None,
+        fmt: str = "parquet",
     ):
         """Start the ingest stream. With available_now=True, drains the feed and
         marks the pipe UP_TO_DATE (reference PipeState, PipeState.java:3-5)."""
@@ -185,10 +186,12 @@ class IngestEngine:
             if not f.name.startswith("_") and f.name not in base_names:
                 feed_schema.add(StructField(f.name, f.dataType, True))
         reader = self.spark.readStream.schema(feed_schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
         if max_files_per_trigger is not None:
             # batch admission control <-> reference read limit + byte cap (W1/O2)
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        stream = reader.parquet(log_path)
+        stream = reader.format(fmt).load(log_path)
 
         writer = stream.writeStream.foreachBatch(self.apply_batch).option(
             "checkpointLocation", self.checkpoint_dir

@@ -45,3 +45,19 @@ def test_new_segments_picked_up_incrementally(spark, tmp_path):
     ]
     want = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(first + second)]
     assert got == want
+
+
+def test_json_feed_ingestion(spark, tmp_path):
+    # the same engine over a JSON change log (heterogeneous producers)
+    feed = str(tmp_path / "jfeed")
+    events_df(spark, [ev(i, conv=f"j{i % 3}", turn=i % 2, t=i) for i in range(1, 21)]) \
+        .coalesce(1).write.json(feed)
+    eng = IngestEngine(spark, str(tmp_path / "jtbl"), str(tmp_path / "jckpt"),
+                       n_buckets=4, merge_mode="mor")
+    eng.run(feed, max_files_per_trigger=2, fmt="json")
+    got = [(r["conv_id"], r["turn_idx"], r["text"])
+           for r in read_transcripts(LakeTable(spark, eng.table_root))
+           .orderBy("conv_id", "turn_idx").collect()]
+    want = [(r["conv_id"], r["turn_idx"], r["text"])
+            for r in replay([ev(i, conv=f"j{i % 3}", turn=i % 2, t=i) for i in range(1, 21)])]
+    assert got == want
