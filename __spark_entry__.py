@@ -250,6 +250,47 @@ def q_olap_priority_semijoin(spark, sf_dir):
     )
 
 
+def q_cdc_visibility_window(spark, sf_dir):
+    """Visibility-bounded read (reference T2/F2: reads never pass the global
+    latest offset published at a time threshold;
+    PostgresqlStorageIntegrationSpec.groovy:884-900)."""
+    _conf(spark)
+    ev = _events(spark, sf_dir)
+    watermark = ev.filter(F.col("ts") <= F.lit(BEFORE_TS).cast("timestamp")).agg(
+        F.max("event_id")
+    ).collect()[0][0]
+    return ev.filter(F.col("event_id") <= int(watermark)).agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.max("event_id").alias("visible_latest"),
+    )
+
+
+def q_olap_segment_stats(spark, sf_dir):
+    _conf(spark)
+    cust = _t("customer")(spark, sf_dir)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("sum_acctbal"),
+    )
+
+
+def q_text_top_bigrams(spark, sf_dir):
+    """Corpus n-gram stats: top-20 token bigrams by document frequency
+    (distinct per doc; count desc, bigram asc)."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.text import shingle_array, tokens
+
+    docs = _t("documents")(spark, sf_dir)
+    toked = docs.select(tokens(F.col("text")).alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = toked.select(F.explode(shingle_array(F.col("toks"), 2)).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.col("bigram"))
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------ text/dedup family
 def q_text_token_counts(spark, sf_dir):
     _conf(spark)
@@ -416,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_deletes": q_cdc_latest_deletes,
         "cdc_lineage_watermarks": q_cdc_lineage_watermarks,
         "cdc_hourly_rollup": q_cdc_hourly_rollup,
+        "cdc_visibility_window": q_cdc_visibility_window,
+        "olap_segment_stats": q_olap_segment_stats,
+        "text_top_bigrams": q_text_top_bigrams,
         "olap_pricing_summary": q_olap_pricing_summary,
         "olap_top_nations_revenue": q_olap_top_nations_revenue,
         "olap_priority_semijoin": q_olap_priority_semijoin,
@@ -548,6 +592,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "cdc_visibility_window": f"""
+            SELECT count(*) AS n_visible, max(event_id) AS visible_latest
+            FROM events
+            WHERE event_id <= (SELECT max(event_id) FROM events
+                               WHERE ts <= TIMESTAMP '{BEFORE_TS}')
+        """,
+        "olap_segment_stats": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "text_top_bigrams": f"""
+            WITH toked AS (
+                SELECT regexp_extract_all(lower(text), {_TOKEN_SQL}) AS toks
+                FROM documents
+                WHERE len(regexp_extract_all(lower(text), {_TOKEN_SQL})) >= 2),
+            bigrams AS (
+                SELECT unnest(list_distinct(
+                    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                )) AS bigram FROM toked)
+            SELECT bigram, count(*) AS n_docs FROM bigrams
+            GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20
         """,
         "olap_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
