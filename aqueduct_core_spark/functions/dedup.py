@@ -200,6 +200,12 @@ def lsh_candidate_pairs(
     )
     if verify_threshold is not None:
         pairs = pairs.filter(F.col("est_jaccard") >= verify_threshold)
+    # Materialize the (small) pairs result now so the banded cache can be
+    # released before returning — persist without unpersist would leak cached
+    # blocks across calls in a long-lived session. localCheckpoint truncates
+    # the lineage so the returned plan no longer references the cache.
+    pairs = pairs.localCheckpoint(eager=True)
+    banded.unpersist()
     return pairs
 
 
@@ -277,8 +283,12 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # same cache-release pattern as lsh_candidate_pairs
+    out = out.localCheckpoint(eager=True)
+    chunks.unpersist()
+    return out

@@ -28,6 +28,7 @@ Plan shape (all distributed; driver only plans + commits the manifest):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -151,29 +152,35 @@ def merge_change_batch(
         if salt and salt > 1:
             src = lww_dedup(src, salt=salt)
         src = src.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))
-
-        if mode == "mor":
-            # Merge-on-read (the reference's own shape: the edge store APPENDS
-            # every message and compacts separately, SQLiteStorage.java:134-171
-            # + compactUpTo). The batch is deduped within itself and appended as
-            # DELTA files — no target scan, no rewrite; LWW resolution happens
-            # at read time (resolve_lww) and compaction folds deltas into base.
-            # Write amplification per batch: exactly the batch, nothing else.
-            resolved_batch = resolve_lww(src)
-            new_files = table.write_files(resolved_batch, snap, kind="delta")
-            keep = list(snap.files)
-            affected = sorted({f["bucket"] for f in new_files})
-        else:
-            # Copy-on-write: only buckets the batch touches are read (manifest
-            # pruning; the bucket set is a cheap int-distinct over the batch)
-            # and rewritten fully — reads stay resolution-free.
-            affected = sorted(
-                r[0] for r in src.select(BUCKET_COL).distinct().collect()
-            )
-            target = table.read(buckets=affected, with_bucket_col=True)
-            guarded = resolve_lww(target.unionByName(src))
-            new_files = table.write_files(guarded, snap)
-            keep = [f for f in snap.files if f["bucket"] not in set(affected)]
+        # src feeds multiple consumers (the bucket probe + both sides of
+        # resolve_lww); without a persist each one recomputes the normalize +
+        # dedup DAG from the source batch.
+        src = src.persist()
+        try:
+            if mode == "mor":
+                # Merge-on-read (the reference's own shape: the edge store APPENDS
+                # every message and compacts separately, SQLiteStorage.java:134-171
+                # + compactUpTo). The batch is deduped within itself and appended as
+                # DELTA files — no target scan, no rewrite; LWW resolution happens
+                # at read time (resolve_lww) and compaction folds deltas into base.
+                # Write amplification per batch: exactly the batch, nothing else.
+                resolved_batch = resolve_lww(src)
+                new_files = table.write_files(resolved_batch, snap, kind="delta")
+                keep = list(snap.files)
+                affected = sorted({f["bucket"] for f in new_files})
+            else:
+                # Copy-on-write: only buckets the batch touches are read (manifest
+                # pruning; the bucket set is a cheap int-distinct over the batch)
+                # and rewritten fully — reads stay resolution-free.
+                affected = sorted(
+                    r[0] for r in src.select(BUCKET_COL).distinct().collect()
+                )
+                target = table.read(buckets=affected, with_bucket_col=True)
+                guarded = resolve_lww(target.unionByName(src))
+                new_files = table.write_files(guarded, snap)
+                keep = [f for f in snap.files if f["bucket"] not in set(affected)]
+        finally:
+            src.unpersist()
 
         txn = dict(snap.txn)
         txn[writer_id] = batch_id
@@ -191,7 +198,7 @@ def merge_change_batch(
                 lineage[pid] = {
                     "high_watermark_lsn": max(prev, int(r["high_watermark_lsn"])),
                     "batch_id": batch_id,
-                    "applied_at": __import__("time").time(),
+                    "applied_at": time.time(),
                 }
             props["lineage"] = lineage
         if pipe_state is not None:
@@ -206,13 +213,16 @@ def merge_change_batch(
             txn=txn,
             properties=props,
             parent=snap.version,
-            committed_at=__import__("time").time(),
+            committed_at=time.time(),
         )
         try:
             table.try_commit(nxt)
             return MergeResult(batch_id, False, nxt.version, list(affected))
         except CommitConflict:
-            continue  # optimistic retry, same as Iceberg commit conflicts
+            # optimistic retry, same as Iceberg commit conflicts — but first
+            # reclaim this attempt's data files (no manifest references them)
+            table.discard_files(new_files)
+            continue
 
 
 def resolve_lww(df: DataFrame) -> DataFrame:

@@ -233,6 +233,17 @@ class LakeTable:
         """Atomically publish `snap` as the next version (CAS on the version file)."""
         self._write_manifest(snap)
 
+    def discard_files(self, entries: list[dict]) -> None:
+        """Delete a failed commit attempt's data files.
+
+        The losing side of an optimistic-commit race has already written its
+        parquet under data/<commit-uuid>/ but no manifest will ever reference
+        it, so expire_snapshots can never reclaim it — without this, writer
+        contention leaks orphan files without bound."""
+        dirs = {os.path.dirname(os.path.dirname(e["path"])) for e in entries}
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
     # ---------------------------------------------------------------- evolution
     def evolve_schema(self, new_schema: StructType) -> Snapshot:
         """Evolve-then-write (add columns / widen int->long, float->double).

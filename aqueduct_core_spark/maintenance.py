@@ -15,6 +15,7 @@ aborts) — replacing the reference's `SELECT ... FOR UPDATE NOWAIT` advisory lo
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import functions as F
@@ -65,12 +66,13 @@ def compact_table(
             txn=snap.txn,
             properties={**snap.properties, "last_compaction": str(tombstone_retention_ts)},
             parent=snap.version,
-            committed_at=__import__("time").time(),
+            committed_at=time.time(),
         )
         try:
             table.try_commit(nxt)
             break
         except CommitConflict:
+            table.discard_files(new_files)  # reclaim the losing attempt's files
             continue
     removed = table.expire_snapshots(keep_last=keep_snapshots)
     return CompactionStats(version=nxt.version, removed_snapshots=removed)
@@ -104,10 +106,11 @@ def rewrite_small_files(table: LakeTable, target_files_per_bucket: int = 1) -> i
             txn=snap.txn,
             properties=snap.properties,
             parent=snap.version,
-            committed_at=__import__("time").time(),
+            committed_at=time.time(),
         )
         try:
             table.try_commit(nxt)
             return nxt.version
         except CommitConflict:
+            table.discard_files(new_files)  # reclaim the losing attempt's files
             continue

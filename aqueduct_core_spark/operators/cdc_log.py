@@ -193,13 +193,14 @@ def mark_and_sweep_deletions(
     """Postgres-side deletion compaction, exactly the reference's two steps
     (PostgresqlStorage.java:469-488):
 
-      1. MARK: for each (key, cluster) having a tombstone with
-         ts <= deletion_threshold AND cluster_id = routing_id (the routing
-         guard — deletes relinked to another routing partition must NOT
-         compact that partition's history,
+      1. MARK: for each (key, cluster) having an UNSTAMPED tombstone
+         (time_to_live IS NULL in the subquery) with ts <= deletion_threshold
+         AND cluster_id = routing_id (the routing guard — deletes relinked to
+         another routing partition must NOT compact that partition's history,
          PostgresqlStorageIntegrationSpec.groovy:335-370), stamp ttl = now on
-         every unstamped row of that key/cluster with lsn <= the latest such
-         tombstone.
+         EVERY row of that key/cluster with lsn <= the latest such tombstone —
+         the UPDATE has no ttl-is-null condition, so a pre-stamped future TTL
+         is overwritten and the row dies this run.
       2. SWEEP: drop rows whose ttl <= now (pre-stamped TTLs from earlier runs
          expire on their own schedule).
 
@@ -210,6 +211,7 @@ def mark_and_sweep_deletions(
 
     last_del = (
         df.filter(d & (F.col(ts) <= F.lit(deletion_threshold_ts))
+                  & ttl.isNull()  # only unstamped tombstones seed a mark pass
                   & (F.col(cluster_col) == F.col(routing_col)))
         .groupBy(*[F.col(k).alias(f"_k_{k}") for k in key_cols],
                  F.col(cluster_col).alias("_k_cluster"))
@@ -219,8 +221,8 @@ def mark_and_sweep_deletions(
     for k in key_cols:
         cond = cond & (F.col(k) == F.col(f"_k_{k}"))
     joined = df.join(F.broadcast(last_del), cond, "left")
-    marked = (ttl.isNull() & F.col("_last_del").isNotNull()
-              & (F.col(lsn) <= F.col("_last_del")))
+    # no ttl.isNull() here: the reference UPDATE overwrites existing TTLs
+    marked = F.col("_last_del").isNotNull() & (F.col(lsn) <= F.col("_last_del"))
     expired = ttl.isNotNull() & (ttl <= F.lit(now_ts))
     return joined.filter(~marked & ~expired).select(*[F.col(c) for c in df.columns])
 

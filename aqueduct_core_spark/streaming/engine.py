@@ -133,9 +133,13 @@ class IngestEngine:
 
         # Per-routing-partition high watermarks: tiny aggregate (<= #partitions
         # rows) collected on the driver and committed WITH the data.
+        # routing_id is nullable in CHANGE_EVENT_SCHEMA — NULLs land in the
+        # sentinel partition -1 rather than raising inside foreachBatch.
         lineage_rows = [
             {"partition_id": int(r["p"]), "high_watermark_lsn": int(r["hw"])}
-            for r in df.groupBy(F.col("routing_id").alias("p"))
+            for r in df.groupBy(
+                F.coalesce(F.col("routing_id"), F.lit(-1)).alias("p")
+            )
             .agg(F.max("change_lsn").alias("hw"))
             .collect()
         ]

@@ -145,13 +145,14 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     write_segments(feed, log_dir, n_segments=n_segments)
 
     mode = os.environ.get("AQ_BENCH_MODE", "mor")
+    salt = int(os.environ.get("AQ_BENCH_SALT", "0"))
     eng = IngestEngine(
         spark,
         table_root=os.path.join(work_dir, "tbl"),
         checkpoint_dir=os.path.join(work_dir, "ckpt"),
         n_buckets=n_buckets,
         merge_mode=mode,
-        salt=int(os.environ.get("AQ_BENCH_SALT", "0")),
+        salt=salt,
     )
     t0 = time.perf_counter()
     eng.run(log_dir, max_files_per_trigger=mfpt)
@@ -164,6 +165,7 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
         "segments": n_segments,
         "buckets": n_buckets,
         "mode": mode,
+        "salt": salt,
     }
 
 

@@ -64,6 +64,28 @@ def test_deletes_remove_prior_history_with_no_ttl(spark):
     assert survivors(spark, rows, threshold_days=5) == [5, 6, 7, 8, 9, 10]
 
 
+def test_fresh_tombstone_overwrites_prestamped_future_ttl(spark):
+    # PostgresqlStorage.java:473-488: the UPDATE carries no ttl-is-null guard,
+    # so a row pre-stamped with a FUTURE ttl still dies when a fresh unstamped
+    # tombstone covers it this run.
+    rows = [
+        row(1, "A", 1, days_ago(9)),
+        row(2, "A", 1, days_ago(9), ttl=NOW + timedelta(days=2)),
+        row(3, "A", 1, days_ago(8), deleted=True),
+    ]
+    assert survivors(spark, rows, threshold_days=5) == []
+
+
+def test_stamped_tombstone_does_not_seed_marking(spark):
+    # the subquery filters time_to_live IS NULL: an already-stamped tombstone
+    # must not mark its key's history again.
+    rows = [
+        row(1, "B", 1, days_ago(9)),
+        row(2, "B", 1, days_ago(8), deleted=True, ttl=NOW + timedelta(days=2)),
+    ]
+    assert survivors(spark, rows, threshold_days=5) == [1, 2]
+
+
 def test_routing_guard_blocks_foreign_deletes(spark):
     # spec :335-370 -> [2, 3, 4] after both compaction passes
     rows = [

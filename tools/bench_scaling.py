@@ -59,11 +59,20 @@ def main():
     }
     print(json.dumps(result))
 
+    mode = r_hi.get("mode", "?")
+    salt = r_hi.get("salt", 0)
+    merge_desc = {
+        "cow": "bucket-pruned copy-on-write MERGE",
+        "mor": "merge-on-read delta append (LWW resolved at read/compaction)",
+    }.get(mode, mode)
+    dedup_desc = (
+        f"salted (x{salt}) LWW dedup" if salt and salt > 1 else "map-side-combine LWW dedup"
+    )
     md = f"""# BENCH — scaling evidence (local[{lo}] vs local[{hi}])
 
 Same job, same tmpfs-resident {n_events:,}-event deterministic feed (seed 42),
 fresh JVM per run. The replay is the full apply path: streaming source ->
-salted LWW dedup -> bucket-pruned copy-on-write MERGE -> atomic commit with
+{dedup_desc} -> {merge_desc} -> atomic commit with
 lineage.
 
 | parallelism | events | wall sec | events/sec |
