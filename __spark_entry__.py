@@ -403,18 +403,17 @@ def q_dataset_user_history(spark, sf_dir):
 
 
 def q_dataset_shard_plan(spark, sf_dir):
-    """Token-budgeted shard planning over documents (pipeline.plan_shards)."""
+    """Token-budgeted shard planning over documents via the DISTRIBUTED
+    prefix-sum planner (chunked range partitions + broadcast offsets — no
+    Exchange SinglePartition); the oracle twin is the equivalent single
+    global-window SQL."""
     _conf(spark)
-    from pyspark.sql import Window
+    from aqueduct_core_spark.pipeline import plan_shards
 
     docs = _t("documents")(spark, sf_dir).select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return docs.withColumn(
-        "shard_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2000)).cast("int"),
-    )
+    return plan_shards(docs, tokens_per_shard=2000, order_col="doc_id", n_chunks=8)
 
 
 def q_ann_ivf_topk(spark, sf_dir):

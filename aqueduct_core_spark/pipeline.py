@@ -67,11 +67,11 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "document", id_col: str
     )
 
 
-def plan_shards(df: DataFrame, tokens_per_shard: int, order_col: str = "conv_id") -> DataFrame:
-    """Deterministic token-budgeted shard assignment: running token sum in a
-    stable order, shard_id = floor((cumsum - n) / budget). Single window here;
-    the 100 TB variant computes per-partition totals first and broadcasts
-    prefix offsets (distributed prefix sum) to avoid the global window."""
+def plan_shards_single(df: DataFrame, tokens_per_shard: int, order_col: str = "conv_id") -> DataFrame:
+    """Reference form of the shard planner: ONE global window. Executes as an
+    Exchange SinglePartition — one task sorts and scans the whole corpus, so
+    this is strictly the small-data / oracle-twin form. plan_shards (below) is
+    the production path; tests assert the two produce identical assignments."""
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(
         "shard_id",
@@ -79,6 +79,83 @@ def plan_shards(df: DataFrame, tokens_per_shard: int, order_col: str = "conv_id"
             "int"
         ),
     )
+
+
+def _range_chunk_bounds(df: DataFrame, order_col: str, n_chunks: int, sample_size: int = 4096):
+    """Deterministic range boundaries over order_col: sample keys by hash order
+    (stable across runs — no RNG), sort, take n_chunks-1 evenly spaced cut
+    points. One narrow scan of the key column."""
+    keys = [
+        r[0]
+        for r in df.select(order_col)
+        .orderBy(F.xxhash64(F.col(order_col).cast("string")))
+        .limit(sample_size)
+        .collect()
+    ]
+    keys.sort()
+    if len(keys) < 2 or n_chunks < 2:
+        return []
+    step = len(keys) / n_chunks
+    bounds = sorted({keys[int(i * step)] for i in range(1, n_chunks)})
+    return bounds
+
+
+def plan_shards(
+    df: DataFrame,
+    tokens_per_shard: int,
+    order_col: str = "conv_id",
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Deterministic token-budgeted shard assignment: running token sum in a
+    stable order, shard_id = floor((cumsum - n) / budget).
+
+    Distributed prefix sum (no global window, no Exchange SinglePartition):
+      1. deterministic range-chunk the corpus on order_col (sampled bounds);
+      2. per-chunk token totals — one tiny aggregate (n_chunks rows) collected
+         on the driver;
+      3. exclusive prefix offsets per chunk broadcast back as a literal map;
+      4. chunk-local running sum via Window.partitionBy(chunk) — each chunk
+         sorts independently in its own task.
+    Identical output to plan_shards_single for any input (asserted in
+    tests/test_pipeline.py); scales as max(chunk) not sum(corpus). The same
+    two-phase shape as the reference's two-level read
+    (PostgresqlStorage.java:446-467)."""
+    if n_chunks is None:
+        n_chunks = df.sparkSession.sparkContext.defaultParallelism
+    bounds = _range_chunk_bounds(df, order_col, n_chunks)
+    if not bounds:
+        return plan_shards_single(df, tokens_per_shard, order_col)
+    # chunk = number of bounds <= key (monotone in order_col, so chunk ranges
+    # are contiguous and chunk-local order + offsets reproduce the global order)
+    chunk = F.lit(0)
+    for b in bounds:
+        chunk = chunk + F.when(F.col(order_col) >= F.lit(b), 1).otherwise(0)
+    chunked = df.withColumn("_chunk", chunk)
+
+    totals = {
+        r["_chunk"]: r["_tot"]
+        for r in chunked.groupBy("_chunk")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .collect()
+    }
+    running, offsets = 0, {}
+    for c in sorted(totals):
+        offsets[c] = running
+        running += int(totals[c] or 0)
+    off_map = F.create_map(
+        *[F.lit(x) for c in sorted(offsets) for x in (c, offsets[c])]
+    )
+
+    w = (
+        Window.partitionBy("_chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumsum = off_map[F.col("_chunk")] + F.sum("n_tokens").over(w)
+    return chunked.withColumn(
+        "shard_id",
+        F.floor((cumsum - F.col("n_tokens")) / F.lit(tokens_per_shard)).cast("int"),
+    ).drop("_chunk")
 
 
 def build_training_dataset(

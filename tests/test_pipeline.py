@@ -77,3 +77,38 @@ def test_plan_shards_deterministic(spark):
         sizes[s] = sizes.get(s, 0) + 1
     # floor((100*(i-1))/250) over i=1..10 -> shard sizes 3,2,3,2
     assert sizes == {0: 3, 1: 2, 2: 3, 3: 2}
+
+
+def test_plan_shards_distributed_equals_single_window(spark):
+    """The distributed prefix-sum planner must reproduce the single-global-
+    window reference plan exactly, on skewed token counts and string keys."""
+    from aqueduct_core_spark.pipeline import plan_shards_single
+
+    rows = [(f"c{i:04d}", (i * 37) % 400 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "conv_id string, n_tokens int")
+    for n_chunks in (2, 7, 16):
+        dist = {
+            r["conv_id"]: r["shard_id"]
+            for r in plan_shards(df, 1000, n_chunks=n_chunks).collect()
+        }
+        single = {
+            r["conv_id"]: r["shard_id"]
+            for r in plan_shards_single(df, 1000).collect()
+        }
+        assert dist == single
+
+
+def test_plan_shards_no_single_partition_exchange(spark):
+    """The production planner's physical plan must not funnel the corpus
+    through Exchange SinglePartition (the 100 TB bottleneck the single-window
+    form has)."""
+    from aqueduct_core_spark.plans.inspect import explain_str
+    from aqueduct_core_spark.pipeline import plan_shards_single
+
+    rows = [(f"c{i:04d}", 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "conv_id string, n_tokens int")
+    dist_plan = explain_str(plan_shards(df, 1000, n_chunks=8), "simple")
+    assert "Exchange SinglePartition" not in dist_plan
+    # sanity: the single-window twin DOES have it (proves the assertion bites)
+    single_plan = explain_str(plan_shards_single(df, 1000), "simple")
+    assert "Exchange SinglePartition" in single_plan
