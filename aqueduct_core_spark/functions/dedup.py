@@ -209,6 +209,68 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """MinHash-LSH candidates VERIFIED with exact shingle-set Jaccard.
+
+    The production near-dup shape: candidate generation is the near-linear
+    banded LSH (no all-pairs join ever materializes), then only the candidate
+    pairs — a vanishing fraction of all pairs — are re-checked against their
+    exact distinct-shingle Jaccard. Output (id_a, id_b, jaccard) contains no
+    false positives by construction; recall is governed by the band/row
+    choice (bands=16 over 32 hashes → rows=2: a pair at Jaccard s survives
+    with p = 1-(1-s^2)^16, >0.999999 for s >= 0.7).
+
+    Only documents with >= shingle_n tokens participate (shorter docs have no
+    full shingle) — mirrored by the ANSI oracle twin."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= shingle_n)
+    from aqueduct_core_spark.functions.text import shingle_array
+
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    shs = toked.repartition(spread).select(
+        "id", shingle_array(F.col("_toks"), shingle_n).alias("shs")
+    )
+    # shingle sets feed the signature pipeline AND both verification join
+    # sides — persist so the expensive tokenize+shingle stage runs once
+    shs = shs.persist()
+    try:
+        ex = shs.select("id", F.explode("shs").alias("sh"))
+        mins = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+        sigs = ex.groupBy("id").agg(*mins).select(
+            "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+        )
+        cands = lsh_candidate_pairs(
+            sigs, bands=bands, verify_threshold=None, max_bucket_size=max_bucket_size
+        )
+        a_sets = shs.select(F.col("id").alias("id_a"), F.col("shs").alias("_sa"))
+        b_sets = shs.select(F.col("id").alias("id_b"), F.col("shs").alias("_sb"))
+        shared = F.size(F.array_intersect("_sa", "_sb"))
+        union = F.size("_sa") + F.size("_sb") - shared
+        out = (
+            cands.join(a_sets, "id_a")
+            .join(b_sets, "id_b")
+            .withColumn("jaccard", F.round(shared / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shs.unpersist()
+
+
 # ------------------------------------------------------------------ simhash
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per bit j, sum +-1 over token-frequency-
@@ -230,6 +292,134 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = acc.bitwiseOR(F.shiftleft(bit, j))
     return agg.select("id", acc.alias("simhash"))
+
+
+def simhash_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Engine-portable 64-bit SimHash as two 32-bit words (sim_hi, sim_lo).
+
+    Same shape as simhash64 but the per-token 64-bit hash comes from the first
+    16 hex digits of md5(token) (each digit contributing 4 bits) instead of
+    xxhash64 — md5, position(), >>, & and integer sums are bit-identical
+    between Spark and ANSI SQL engines, so the whole computation has an exact
+    DuckDB twin (__spark_entry__.oracle_sql: dedup_simhash_pairs). Two 32-bit
+    words instead of one 64-bit value keep every intermediate below 2^32 so
+    no engine's signed-overflow rules are ever in play.
+
+    All JVM-side: explode + md5 + 64 conditional sums + arithmetic reassembly."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.repartition(spread)
+        .select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .withColumn("_h", F.md5("tok"))
+        .select(
+            "id",
+            *[
+                F.expr(
+                    f"position(substring(_h, {k + 1}, 1) IN '0123456789abcdef') - 1"
+                ).alias(f"v{k}")
+                for k in range(16)
+            ],
+        )
+    )
+
+    def bit(j: int):
+        return F.shiftright(F.col(f"v{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+
+    bit_sums = [
+        F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}") for j in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*bit_sums)
+
+    def word(lo_bit: int):
+        acc = F.lit(0).cast("long")
+        for j in range(lo_bit, lo_bit + 32):
+            acc = acc + F.when(
+                F.col(f"b{j}") > 0, F.lit(1 << (j - lo_bit)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return agg.select("id", word(32).alias("sim_hi"), word(0).alias("sim_lo"))
+
+
+def simhash_near_pairs_words(
+    sim_df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over (sim_hi, sim_lo) SimHash words with a recall
+    GUARANTEE: bands > max_hamming means any pair within the hamming budget
+    has fewer differing bits than bands, so some band is identical in both
+    (pigeonhole) — the output is EXACTLY the set of pairs with hamming <=
+    max_hamming (modulo an optional over-common-bucket guard; pass None to
+    keep the guarantee unconditional). Output (id_a, id_b, hamming)."""
+    if bands <= max_hamming and max_bucket_size is None:
+        raise ValueError(
+            f"bands={bands} <= max_hamming={max_hamming} loses the pigeonhole "
+            "recall guarantee"
+        )
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def chunk(b: int):
+        lo_bit = b * width
+        if lo_bit >= 32:
+            return F.shiftrightunsigned("sim_hi", lo_bit - 32).bitwiseAND(F.lit(mask))
+        return F.shiftrightunsigned("sim_lo", lo_bit).bitwiseAND(F.lit(mask))
+
+    chunks = sim_df.select(
+        "id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), chunk(b).alias("chunk"))
+                for b in range(bands)
+            ])
+        ).alias("bc"),
+    ).select("id", "sim_hi", "sim_lo", "bc.band", "bc.chunk")
+    chunks = chunks.persist()
+    if max_bucket_size is not None:
+        ok = (
+            chunks.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "chunk")
+        )
+        chunks = chunks.join(ok, ["band", "chunk"], "left_semi")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim_hi").alias("_hi_a"),
+            F.col("a.sim_lo").alias("_lo_a"),
+            F.col("b.sim_hi").alias("_hi_b"),
+            F.col("b.sim_lo").alias("_lo_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = (
+        cand.withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+                + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    out = out.localCheckpoint(eager=True)
+    chunks.unpersist()
+    return out
 
 
 def simhash_near_pairs(

@@ -30,11 +30,17 @@ def train_centroids(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Driver-side mini k-means on a deterministic sample. Returns (k, dim)."""
+    """Driver-side mini k-means on a deterministic sample. Returns (k, dim).
+
+    The sample is a TakeOrdered by xxhash64 of the ID column — a cheap
+    fixed-width hash per row (the earlier form hashed to_json of the whole
+    vector, taxing every row with a full serialization just to pick a few
+    thousand samples)."""
     sample = (
         df.select(vec_col)
-        .orderBy(F.xxhash64(F.to_json(F.struct(vec_col))))  # deterministic shuffle
+        .orderBy(F.xxhash64(F.col(id_col)))  # deterministic shuffle, cheap key
         .limit(sample_size)
         .collect()
     )
@@ -89,4 +95,54 @@ def ivf_topk(
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_topk_batch(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched IVF top-k: probe MANY query vectors in one pass — what a real
+    pipeline runs (one job per query would pay a full scan each).
+
+    Plan: assign each query its nprobe nearest lists (one tiny pandas-UDF pass
+    over the query table), explode to (query, list) probe rows, broadcast-join
+    against the indexed corpus on ivf_list — so each query only ever meets the
+    vectors in its probed lists — then per-query top-k via a window rank over
+    the (query, list)-pruned candidates. Output (query_id, vec_id, cosine,
+    rank)."""
+    from pyspark.sql import Window
+
+    cents = centroids.copy()  # (k_lists, dim)
+
+    @pandas_udf("array<int>")
+    def probe_lists(qvecs: pd.Series) -> pd.Series:
+        m = np.asarray(qvecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T  # (nq, k_lists)
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    probes = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+        F.explode(probe_lists(F.col(qvec_col))).alias("ivf_list"),
+    )
+    cand = indexed.join(F.broadcast(probes), "ivf_list").select(
+        "qid",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(qid_col), id_col, "cosine", "rank")
     )

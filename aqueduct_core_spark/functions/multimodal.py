@@ -122,6 +122,28 @@ def frame_sample(df: DataFrame, frame_size: int = 1024, every_n: int = 2) -> Dat
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame, limit: int | None = None) -> DataFrame:
+    """Deterministic media table derived from the documents table: the text
+    payload is treated as the opaque binary blob (UTF-8 bytes), kind cycles by
+    doc_id. Fully distributed (a projection, no driver data), and every output
+    column is predictable from the source table — which is what lets the
+    multimodal feature path have an exact ANSI-SQL oracle twin: n_bytes is
+    computed from the REAL payload bytes inside the Arrow batch, the oracle
+    recomputes it as octet_length(encode(text))."""
+    out = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("codec"), F.lit("fake")).alias("meta"),
+    )
+    if limit is not None:
+        out = out.filter(F.col("media_id") < limit)
+    return out
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests (payload = seeded bytes)."""
     rows = []

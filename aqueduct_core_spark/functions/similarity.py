@@ -75,18 +75,28 @@ def embedding_neardup_pairs(
     )
 
 
-def lsh_bucket_ids(dim: int, nbits: int = 16, seed: int = 42):
-    """Vectorized random-hyperplane LSH bucketer: a pandas UDF computing the
-    sign-bit signature of each vector against `nbits` fixed hyperplanes with a
-    single numpy matmul per Arrow batch (no per-row Python)."""
-    hyper = np.random.RandomState(seed).standard_normal((dim, nbits))
+def lsh_hyperplanes(dim: int, nbits: int, n_tables: int = 1, seed: int = 42) -> np.ndarray:
+    """Fixed random hyperplanes, shape (n_tables, nbits, dim). Deterministic in
+    (dim, nbits, n_tables, seed) — exposed so the DuckDB oracle twin can embed
+    the SAME constants and reproduce the bucketing exactly."""
+    return np.random.RandomState(seed).standard_normal((n_tables, nbits, dim))
 
-    @pandas_udf("long")
+
+def lsh_bucket_ids(dim: int, nbits: int = 16, seed: int = 42, n_tables: int = 1):
+    """Vectorized random-hyperplane LSH bucketer: a pandas UDF computing the
+    sign-bit signature of each vector against the fixed hyperplanes with a
+    single numpy matmul per Arrow batch (no per-row Python). Returns an array
+    of n_tables bucket ids per vector."""
+    hyper = lsh_hyperplanes(dim, nbits, n_tables, seed)  # (T, nbits, dim)
+    flat = hyper.reshape(n_tables * nbits, dim).T  # (dim, T*nbits)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
-        bits = (m @ hyper) > 0  # (batch, nbits)
-        weights = (1 << np.arange(nbits)).astype(np.int64)
-        return pd.Series(bits.astype(np.int64) @ weights)
+        bits = (m @ flat) > 0  # (batch, T*nbits)
+        per_table = bits.reshape(len(m), n_tables, nbits).astype(np.int64) @ weights
+        return pd.Series(list(per_table))
 
     return bucket
 
@@ -97,24 +107,42 @@ def ann_neardup_pairs(
     threshold: float = 0.95,
     nbits: int = 12,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate near-dup pairs: LSH-bucket, compare only within buckets,
-    verify with exact cosine. Recall < 1 by construction (scale path)."""
-    bucket = lsh_bucket_ids(dim, nbits, seed)
-    n = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        bucket(F.col(vec_col)).alias("bucket"),
+    """Approximate near-dup pairs: multi-table LSH bucketing, candidate pairs
+    only within a (table, bucket) group, verified with exact cosine. Recall
+    < 1 by construction (scale path) — raise n_tables to raise recall; the
+    emitted set is a deterministic function of (data, dim, nbits, n_tables,
+    seed), which the DuckDB oracle twin reproduces from the same hyperplane
+    constants (lsh_hyperplanes)."""
+    bucket = lsh_bucket_ids(dim, nbits, seed, n_tables)
+    # bucket table is narrow (id + T longs); vectors stay in their own
+    # projection and only candidate pairs rejoin them for verification
+    buckets = df.select(
+        F.col(id_col).alias("id"), bucket(F.col(vec_col)).alias("_bks")
+    ).select("id", F.posexplode("_bks").alias("tbl", "bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a, b = n.alias("a"), n.alias("b")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

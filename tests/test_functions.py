@@ -157,3 +157,83 @@ def test_cosine_math_sanity():
     b = [1.0, 1.0]
     expected = 1.0 / math.sqrt(2)
     assert abs(expected - 0.707107) < 1e-6
+
+
+def test_minhash_verified_pairs_equal_exact(spark, docs):
+    """Exact-verified LSH output == brute-force distinct-shingle Jaccard."""
+    from itertools import combinations
+
+    from aqueduct_core_spark.functions.dedup import minhash_lsh_verified_pairs
+
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_verified_pairs(docs, bands=16, threshold=0.5).collect()
+    }
+    # brute force in python
+    import re
+
+    def shingles(t):
+        toks = [x for x in re.split(r"[^a-z0-9']+", t.lower()) if x]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)} if len(toks) >= 3 else None
+
+    sets = {r["doc_id"]: shingles(r["text"]) for r in docs.collect()}
+    expect = {}
+    for a, b in combinations(sorted(k for k, v in sets.items() if v), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.5:
+            expect[(a, b)] = round(j, 6)
+    assert out == expect
+    assert (1, 2) in out  # exact dup pair present
+
+
+def test_simhash_words_lossless_banding(spark, docs):
+    """Pigeonhole: bands=8 > max_hamming=6 makes the banded join exactly the
+    all-pairs hamming filter; identical text -> identical words."""
+    from itertools import combinations
+
+    from aqueduct_core_spark.functions.dedup import simhash_near_pairs_words, simhash_words
+
+    sim = simhash_words(docs.filter("text != ''"))
+    vals = {r["id"]: (r["sim_hi"], r["sim_lo"]) for r in sim.collect()}
+    assert vals[1] == vals[2]
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in vals.values())
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs_words(sim, max_hamming=20, bands=32).collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(vals), 2):
+        ham = bin((vals[a][0] ^ vals[b][0])).count("1") + bin(vals[a][1] ^ vals[b][1]).count("1")
+        if ham <= 20:
+            expect[(a, b)] = ham
+    assert pairs == expect
+
+
+def test_ann_multi_table_recall_grows(spark, vectors):
+    df, _ = vectors
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, 0.99).collect()}
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in ann_neardup_pairs(df, dim=16, threshold=0.99, nbits=8, n_tables=1).collect()
+    }
+    many = {
+        (r["id_a"], r["id_b"])
+        for r in ann_neardup_pairs(df, dim=16, threshold=0.99, nbits=8, n_tables=8).collect()
+    }
+    assert one <= many <= exact  # more tables only add candidates; verify bounds them
+    assert many == exact  # 8 tables catch the tight cluster fully
+
+
+def test_media_from_documents_payload_bytes(spark):
+    from aqueduct_core_spark.functions.multimodal import extract_features, media_from_documents
+
+    docs = spark.createDataFrame(
+        [(0, "hello"), (1, "héllo"), (2, ""), (3, "abc" * 100)], "doc_id long, text string"
+    )
+    feats = {r["media_id"]: r for r in extract_features(media_from_documents(docs), dim=4).collect()}
+    assert feats[0]["n_bytes"] == 5
+    assert feats[1]["n_bytes"] == 6  # é is 2 bytes in UTF-8 — real payload bytes measured
+    assert feats[2]["n_bytes"] == 0
+    assert feats[3]["n_bytes"] == 300
+    assert feats[0]["kind"] == "image" and feats[1]["kind"] == "audio" and feats[2]["kind"] == "video"
+    assert all(len(r["features"]) == 4 for r in feats.values())

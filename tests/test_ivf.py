@@ -43,3 +43,25 @@ def test_ivf_determinism(spark, clustered):
     c1 = train_centroids(df, n_centroids=8, sample_size=600, seed=7)
     c2 = train_centroids(df, n_centroids=8, sample_size=600, seed=7)
     assert np.allclose(c1, c2)
+
+
+def test_ivf_topk_batch_matches_per_query(spark, clustered):
+    from aqueduct_core_spark.functions.ivf import ivf_topk_batch
+
+    df, rows = clustered
+    cents = train_centroids(df, n_centroids=8, sample_size=600, seed=7)
+    indexed = assign_lists(df, cents).cache()
+    indexed.count()
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in (10, 77, 300)], "query_id long, query_vec array<float>"
+    )
+    batch = ivf_topk_batch(indexed, cents, queries, k=5, nprobe=3).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid in (10, 77, 300):
+        single = [
+            (i + 1, r["vec_id"], r["cosine"])
+            for i, r in enumerate(ivf_topk(indexed, cents, rows[qid][1], k=5, nprobe=3).collect())
+        ]
+        assert sorted(got[qid]) == single
