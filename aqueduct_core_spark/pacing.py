@@ -40,6 +40,62 @@ def calculate_retry_after_ms(
 
 
 @dataclass
+class AdaptivePacer:
+    """Converts a finished micro-batch's measurements into the next trigger
+    interval — the consumer-side restatement of the reference's read
+    controller (PipeReadController.java:113-129 `calculateRetryAfter` +
+    PostgresqlStorage.java:229-251):
+
+      * empty batch      -> cap + jitter backoff (storage :249-251);
+      * catching up      -> fast path 0 ms while the rate limiter has capacity
+        (controller: messages older than pipe.bootstrap.threshold 6h and
+        PipeRateLimiter.tryAcquire, :117-129);
+      * steady tailing   -> ceil(node_count / (pool / query_ms)), capped.
+    """
+
+    node_count: int = 3000  # application-prod.yml defaults
+    db_pool_size: int = 24
+    max_retry_after_ms: int = 600_000
+    bootstrap_threshold_s: float = 6 * 3600.0  # pipe.bootstrap.threshold: 6h
+    fast_path_permits_per_s: float = 80.0  # PipeRateLimiter.java:8-18
+    rng: random.Random | None = None
+
+    def __post_init__(self) -> None:
+        self.bucket = TokenBucket(capacity_per_s=self.fast_path_permits_per_s)
+
+    def next_interval_ms(
+        self,
+        batch_wall_ms: float,
+        batch_rows: int,
+        newest_event_age_s: float | None = None,
+        now: float | None = None,
+    ) -> int:
+        if batch_rows == 0:
+            return calculate_retry_after_ms(
+                batch_wall_ms,
+                0,
+                self.node_count,
+                self.db_pool_size,
+                self.max_retry_after_ms,
+                rng=self.rng,
+            )
+        if (
+            newest_event_age_s is not None
+            and newest_event_age_s > self.bootstrap_threshold_s
+            and self.bucket.try_acquire(now)
+        ):
+            return 0  # bootstrapping reader on the fast path
+        return calculate_retry_after_ms(
+            batch_wall_ms,
+            batch_rows,
+            self.node_count,
+            self.db_pool_size,
+            self.max_retry_after_ms,
+            rng=self.rng,
+        )
+
+
+@dataclass
 class TokenBucket:
     """Fast-path limiter (reference: 80 permits/s for bootstrapping readers)."""
 

@@ -41,6 +41,8 @@ class IngestMetrics:
     events_seen: int = 0
     last_batch_id: int = -1
     per_batch_rows: list[int] = field(default_factory=list)
+    #: newest event timestamp seen (datetime; the feed-recency signal)
+    last_event_ts: object = None
 
 
 class IngestEngine:
@@ -132,17 +134,32 @@ class IngestEngine:
             df = self.transform(df)
 
         # Per-routing-partition high watermarks: tiny aggregate (<= #partitions
-        # rows) collected on the driver and committed WITH the data.
+        # rows) collected on the driver and committed WITH the data. Row count
+        # and newest event ts ride in the SAME aggregate (no extra scan) —
+        # they feed the adaptive pacer and throughput metrics.
         # routing_id is nullable in CHANGE_EVENT_SCHEMA — NULLs land in the
         # sentinel partition -1 rather than raising inside foreachBatch.
+        agg_rows = (
+            df.groupBy(F.coalesce(F.col("routing_id"), F.lit(-1)).alias("p"))
+            .agg(
+                F.max("change_lsn").alias("hw"),
+                F.count(F.lit(1)).alias("n"),
+                F.max("ts").alias("mt"),
+            )
+            .collect()
+        )
         lineage_rows = [
             {"partition_id": int(r["p"]), "high_watermark_lsn": int(r["hw"])}
-            for r in df.groupBy(
-                F.coalesce(F.col("routing_id"), F.lit(-1)).alias("p")
-            )
-            .agg(F.max("change_lsn").alias("hw"))
-            .collect()
+            for r in agg_rows
         ]
+        batch_rows = sum(int(r["n"]) for r in agg_rows)
+        batch_ts = [r["mt"] for r in agg_rows if r["mt"] is not None]
+        if batch_ts:
+            newest = max(batch_ts)
+            if self.metrics.last_event_ts is None or newest > self.metrics.last_event_ts:
+                self.metrics.last_event_ts = newest
+        self.metrics.events_seen += batch_rows
+        self.metrics.per_batch_rows.append(batch_rows)
         if self.fail_after_batches is not None and batch_id >= self.fail_after_batches:
             if self.fail_point == "before_commit":
                 raise RuntimeError(f"injected crash before commit of batch {batch_id}")
@@ -209,6 +226,62 @@ class IngestEngine:
             query.awaitTermination(timeout_s)
             self._mark_up_to_date()
         return query
+
+    def run_adaptive(
+        self,
+        log_path: str,
+        pacer=None,
+        max_files_per_trigger: int | None = 1,
+        max_rounds: int = 20,
+        stop_after_empty: int = 1,
+        sleep_fn=None,
+        fmt: str = "parquet",
+    ) -> list[dict]:
+        """Adaptive tail loop: the reference consumer's poll + Retry-After
+        honor cycle (HttpPipeClient.java:36-63 reads, then sleeps the
+        server-computed Retry-After from PostgresqlStorage.java:229-251 /
+        PipeReadController.java:113-129).
+
+        Each round drains the admitted files (availableNow trigger), measures
+        wall time + applied rows + event recency, and sleeps the pacer-derived
+        interval before polling again: empty rounds back off toward the cap
+        (+jitter), a catching-up engine rides the token-bucket fast path at
+        0 ms, steady tailing paces by the measured batch cost. Returns the
+        per-round pacing records (wall_ms, rows, interval_ms)."""
+        import time as _t
+
+        from aqueduct_core_spark.pacing import AdaptivePacer
+
+        pacer = pacer if pacer is not None else AdaptivePacer()
+        sleep = sleep_fn if sleep_fn is not None else _t.sleep
+        rounds: list[dict] = []
+        empty_rounds = 0
+        for _ in range(max_rounds):
+            seen0 = self.metrics.events_seen
+            t0 = _t.perf_counter()
+            self.run(
+                log_path,
+                max_files_per_trigger=max_files_per_trigger,
+                available_now=True,
+                fmt=fmt,
+            )
+            wall_ms = (_t.perf_counter() - t0) * 1000.0
+            rows = self.metrics.events_seen - seen0
+            age = None
+            if self.metrics.last_event_ts is not None:
+                age = max(0.0, _t.time() - self.metrics.last_event_ts.timestamp())
+            interval_ms = pacer.next_interval_ms(wall_ms, rows, newest_event_age_s=age)
+            rounds.append(
+                {"wall_ms": wall_ms, "rows": rows, "interval_ms": interval_ms}
+            )
+            if rows == 0:
+                empty_rounds += 1
+                if empty_rounds >= stop_after_empty:
+                    break
+            else:
+                empty_rounds = 0
+            sleep(interval_ms / 1000.0)
+        return rounds
 
     def _mark_up_to_date(self) -> None:
         table = LakeTable(self.spark, self.table_root)
