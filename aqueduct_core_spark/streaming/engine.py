@@ -103,14 +103,143 @@ class IngestEngine:
             properties={"merge_mode": self.merge_mode},
         )
 
-    def bootstrap(self) -> None:
-        """Full reset: drop checkpoint + table, replay from zero (reference
-        BootstrapType PIPE_AND_PROVIDER, BootstrapService.java:37-87)."""
-        import shutil
+    # ------------------------------------------------------------ bootstrap
+    # Reference state machine (BootstrapType.java, BootstrapService.java:37-87)
+    # mapped onto this engine:
+    #   provider   <-> the transcript lake table (the applied store)
+    #   pipe       <-> the streaming checkpoint (source offsets) + this
+    #                  writer's exactly-once txn register in the manifest
+    #   controller <-> read availability = the pipe_state table property
 
-        for p in (self.checkpoint_dir, self.table_root):
-            shutil.rmtree(p, ignore_errors=True)
-        self.ensure_table()
+    def bootstrap(
+        self,
+        bootstrap_type: str = "PIPE_AND_PROVIDER",
+        delay_ms: int = 0,
+        sleep_fn=None,
+    ) -> None:
+        """Execute one bootstrap transition. Variants:
+
+        * NONE                     — no-op (registry said nothing to do).
+        * PROVIDER                 — recreate the table, KEEP the checkpoint:
+          only events after the current source offsets will land.
+        * PIPE                     — reset the checkpoint (and clear this
+          writer's txn watermark so replayed batch ids are not skipped as
+          already-committed), KEEP the table: the full feed re-applies
+          idempotently over the existing state.
+        * PIPE_AND_PROVIDER        — full reset, replay from zero.
+        * PIPE_WITH_DELAY / PIPE_AND_PROVIDER_WITH_DELAY — same, sleeping
+          `delay_ms` between reset and restart (reference default 5 min +
+          registry interval, "allow all nodes to reset",
+          BootstrapService.java:28-30).
+        * CORRUPTION_RECOVERY      — full reset including any partial
+          manifest state (the corruptionManager.reset() analog).
+        """
+        import shutil
+        import time as _t
+
+        sleep = sleep_fn if sleep_fn is not None else _t.sleep
+        bt = bootstrap_type.upper()
+        if bt == "NONE":
+            return
+        valid = {
+            "PROVIDER",
+            "PIPE",
+            "PIPE_AND_PROVIDER",
+            "PIPE_WITH_DELAY",
+            "PIPE_AND_PROVIDER_WITH_DELAY",
+            "CORRUPTION_RECOVERY",
+        }
+        if bt not in valid:
+            raise ValueError(f"unknown bootstrap type {bootstrap_type!r}")
+
+        reset_provider = bt in {
+            "PROVIDER",
+            "PIPE_AND_PROVIDER",
+            "PIPE_AND_PROVIDER_WITH_DELAY",
+            "CORRUPTION_RECOVERY",
+        }
+        reset_pipe = bt != "PROVIDER"
+
+        if reset_provider:
+            shutil.rmtree(self.table_root, ignore_errors=True)
+        if reset_pipe:
+            shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
+            if not reset_provider and LakeTable.exists(self.table_root):
+                # pipe-only reset: a fresh streaming query restarts batch ids
+                # at 0 under the SAME writer id (it is scoped to the
+                # checkpoint path) — drop the txn watermark or every replayed
+                # batch would be skipped as already-committed.
+                self._clear_txn_watermark()
+        if bt.endswith("WITH_DELAY") and delay_ms > 0:
+            sleep(delay_ms / 1000.0)
+        if reset_provider:
+            self.ensure_table()
+
+    def _clear_txn_watermark(self) -> None:
+        """Remove this writer's batch-id watermark (and mark the pipe
+        OUT_OF_DATE) in one atomic manifest commit."""
+        from aqueduct_core_spark.lake.table import CommitConflict, Snapshot
+        import time as _t
+
+        table = LakeTable(self.spark, self.table_root)
+        while True:
+            snap = table.current()
+            txn = {k: v for k, v in snap.txn.items() if k != self.writer_id}
+            props = dict(snap.properties)
+            props["pipe_state"] = "OUT_OF_DATE"
+            nxt = Snapshot(
+                version=snap.version + 1,
+                current_schema_id=snap.current_schema_id,
+                schemas=snap.schemas,
+                n_buckets=snap.n_buckets,
+                bucket_key=snap.bucket_key,
+                files=snap.files,
+                txn=txn,
+                properties=props,
+                parent=snap.version,
+                committed_at=_t.time(),
+            )
+            try:
+                table.try_commit(nxt)
+                return
+            except CommitConflict:
+                continue
+
+    def validate_table(self) -> bool:
+        """Manifest integrity check: the current manifest parses, its schema
+        loads, and every listed data file exists (the engine's PRAGMA
+        integrity_check analog)."""
+        import os
+
+        try:
+            snap = LakeTable(self.spark, self.table_root).current()
+            snap.schema()
+        except Exception:
+            return False
+        return all(os.path.exists(f["path"]) for f in snap.files)
+
+    def auto_bootstrap_if_corrupt(self) -> bool:
+        """Corruption-triggered bootstrap: a failed integrity check triggers
+        CORRUPTION_RECOVERY (reference: integrity failure -> full reset,
+        BootstrapService.java:80-86). Returns True when a reset happened."""
+        if self.validate_table():
+            return False
+        self.bootstrap("CORRUPTION_RECOVERY")
+        return True
+
+    def bootstrap_if_stale(
+        self, last_registration_time: float, threshold_s: float, now: float | None = None
+    ) -> bool:
+        """Stale-node auto-bootstrap (SelfRegistrationTask.java:61-66 +
+        isStale:74-77): a node whose last registration predates the deletions
+        threshold cannot trust its compacted history — full reset."""
+        import time as _t
+
+        t = _t.time() if now is None else now
+        if last_registration_time < t - threshold_s:
+            self.bootstrap("PIPE_AND_PROVIDER")
+            return True
+        return False
 
     # ------------------------------------------------------------------ apply
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
