@@ -120,3 +120,52 @@ class NodeGroup:
         import math
 
         return 0 if not self.nodes else int(math.log2(len(self.nodes))) + 1
+
+
+# ---------------------------------------------------------------- consumer side
+class NoAccessibleService(RuntimeError):
+    """Every mirror in the follow chain is down (PipeLoadBalancer.java:38)."""
+
+
+class ServiceList:
+    """Consumer-side view of the follow chain: the ordered feed mirrors an
+    ingest job may tail, with health state (clean-room restatement of
+    ServiceList.java:80-110 + PipeServiceInstance.isUp +
+    PipeLoadBalancer.select:27-39 — "first UP service wins, error when none").
+
+    URLs here are feed directory paths (this engine's transport); the
+    semantics — ordered fallback up the tree, cloud last, health-gated
+    selection, re-registration updates that preserve known health — are the
+    reference's."""
+
+    def __init__(self, urls: list[str]):
+        self._urls: list[str] = list(urls)
+        self._up: dict[str, bool] = {u: True for u in urls}
+
+    def update(self, urls: list[str]) -> None:
+        """Adopt a new follow chain from re-registration; health state of
+        still-present mirrors is preserved (a down parent stays down until
+        revived)."""
+        self._urls = list(urls)
+        self._up = {u: self._up.get(u, True) for u in urls}
+
+    def mark_down(self, url: str) -> None:
+        if url in self._up:
+            self._up[url] = False
+
+    def mark_up(self, url: str) -> None:
+        if url in self._up:
+            self._up[url] = True
+
+    def first_up(self) -> str:
+        for u in self._urls:
+            if self._up.get(u, False):
+                return u
+        raise NoAccessibleService("no accessible service to call")
+
+    def following(self) -> list[str]:
+        """All currently-UP mirrors, in follow order (getFollowing)."""
+        return [u for u in self._urls if self._up.get(u, False)]
+
+    def all_urls(self) -> list[str]:
+        return list(self._urls)

@@ -63,6 +63,9 @@ class IngestEngine:
         # wrongly skipped by an older query's txn register)
         routing_filter: list[int] | None = None,
         entity_filter: list[str] | None = None,
+        min_lsn: int | None = None,  # replay floor: events at/below are already
+        # applied (the reference client's "GET /pipe/{offset} from my local
+        # offset" — used when adopting a new mirror after failover)
         fail_after_batches: int | None = None,  # test hook: crash injection
         fail_point: str = "before_commit",  # 'before_commit' | 'after_commit'
         collect_metrics: bool = True,
@@ -84,6 +87,7 @@ class IngestEngine:
         self.writer_id = writer_id
         self.routing_filter = routing_filter
         self.entity_filter = entity_filter
+        self.min_lsn = min_lsn
         self.fail_after_batches = fail_after_batches
         self.fail_point = fail_point
         self.collect_metrics = collect_metrics
@@ -258,6 +262,10 @@ class IngestEngine:
         if self.routing_filter:
             # reference F3 routing filter (PostgresqlStorage.java:448-454)
             df = df.filter(F.col("routing_id").isin(self.routing_filter))
+        if self.min_lsn is not None:
+            # reference F2 offset floor: the client resumes from its own
+            # offset on a fresh upstream (HttpPipeClient /pipe/{offset})
+            df = df.filter(F.col("change_lsn") > F.lit(int(self.min_lsn)))
         if self.transform is not None:
             # Arrow-vectorized payload transform (pandas UDF, no per-row Python)
             df = self.transform(df)
@@ -410,6 +418,112 @@ class IngestEngine:
             else:
                 empty_rounds = 0
             sleep(interval_ms / 1000.0)
+        return rounds
+
+    # ------------------------------------------------------------ failover
+    def high_watermark(self) -> int:
+        """Highest applied change LSN across all routing partitions (from the
+        committed lineage; -1 on a fresh table)."""
+        snap = LakeTable(self.spark, self.table_root).current()
+        lineage = snap.properties.get("lineage", {})
+        if not lineage:
+            return -1
+        return max(int(v["high_watermark_lsn"]) for v in lineage.values())
+
+    def _mirror_latest_lsn(self, url: str) -> int | None:
+        """Probe a mirror's newest visible LSN (None when unreadable/empty) —
+        the health-check analog of the reference's GET /pipe/_status."""
+        try:
+            row = self.spark.read.parquet(url).agg(F.max("change_lsn")).collect()[0]
+            return int(row[0]) if row[0] is not None else None
+        except Exception:
+            return None
+
+    def _engine_for_mirror(self, url: str) -> "IngestEngine":
+        """A per-mirror sub-engine: its own checkpoint sub-directory (a Spark
+        file-stream checkpoint is bound to one source path — mirrors cannot
+        share one) and a replay floor at the CURRENT applied watermark, the
+        reference client's "resume from my local offset on a new upstream"
+        (HttpPipeClient.java:36-63). The floor plus the LWW merge make the
+        switch exactly-once: nothing below the watermark re-applies, anything
+        at the boundary converges idempotently."""
+        import hashlib
+        import os
+
+        if not hasattr(self, "_mirror_engines"):
+            self._mirror_engines: dict[str, IngestEngine] = {}
+        if url not in self._mirror_engines:
+            tag = hashlib.md5(url.encode()).hexdigest()[:10]
+            self._mirror_engines[url] = IngestEngine(
+                self.spark,
+                table_root=self.table_root,
+                checkpoint_dir=os.path.join(self.checkpoint_dir, f"mirror-{tag}"),
+                n_buckets=self.n_buckets,
+                merge_mode=self.merge_mode,
+                salt=self.salt,
+                routing_filter=self.routing_filter,
+                entity_filter=self.entity_filter,
+                min_lsn=self.high_watermark() if LakeTable.exists(self.table_root) else None,
+                transform=self.transform,
+            )
+        return self._mirror_engines[url]
+
+    def run_with_failover(
+        self,
+        services,
+        max_rounds: int = 10,
+        max_files_per_trigger: int | None = 2,
+        fmt: str = "parquet",
+    ) -> list[dict]:
+        """Tail the follow chain with consumer failover (reference
+        PipeLoadBalancer.select:27-39 — first UP service — over the registry's
+        requested_to_follow; ServiceList health gating).
+
+        Each round drains the first UP mirror via its per-mirror sub-engine.
+        A mirror is marked DOWN and the next one takes over when (a) reading
+        it raises, or (b) it yields no rows while a later mirror in the chain
+        is visibly AHEAD of our applied watermark — the "parent stopped
+        producing" case (a dead edge mirror whose own copy froze). When the
+        current mirror drains clean and no fallback knows newer data, the
+        engine is up to date and returns."""
+        rounds: list[dict] = []
+        for _ in range(max_rounds):
+            url = services.first_up()  # raises NoAccessibleService when none
+            try:
+                sub = self._engine_for_mirror(url)
+                before = sub.metrics.events_seen
+                sub.run(
+                    url,
+                    max_files_per_trigger=max_files_per_trigger,
+                    available_now=True,
+                    fmt=fmt,
+                )
+                rows = sub.metrics.events_seen - before
+            except Exception:
+                services.mark_down(url)
+                rounds.append({"url": url, "rows": 0, "event": "error->down"})
+                continue
+            self.metrics.events_seen += rows
+            self.metrics.batches_applied += sub.metrics.batches_applied
+            sub.metrics.batches_applied = 0
+            rounds.append({"url": url, "rows": rows, "event": "drained"})
+            if rows > 0:
+                continue  # keep draining the same mirror until it runs dry
+            hw = self.high_watermark()
+            ahead = None
+            for alt in services.all_urls():
+                if alt == url:
+                    continue
+                latest = self._mirror_latest_lsn(alt)
+                if latest is not None and latest > hw:
+                    ahead = alt
+                    break
+            if ahead is None:
+                return rounds  # fully caught up on the best available mirror
+            # stalled parent: a fallback knows newer data — fail over
+            services.mark_down(url)
+            services.mark_up(ahead)
+            rounds[-1]["event"] = f"stalled->failover:{ahead}"
         return rounds
 
     def _mark_up_to_date(self) -> None:
