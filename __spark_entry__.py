@@ -40,6 +40,7 @@ N_ROUTING = 16
 SHIP_TS = "1998-09-02 00:00:00"
 NEARDUP_T = 0.4
 JACCARD_T = 0.9
+TOKEN_DF_CAP = 256
 MINHASH_T = 0.5
 SIMHASH_HAMMING = 6
 ANN_NBITS = 8
@@ -329,11 +330,14 @@ def q_dedup_exact_digests(spark, sf_dir):
 
 
 def q_dedup_token_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard pairs WITH the document-frequency guard (drop
+    tokens in > TOKEN_DF_CAP docs — the anti-cartesian-bomb cap the scale
+    path requires); the oracle applies the identical cap."""
     _conf(spark)
     from aqueduct_core_spark.functions.dedup import token_jaccard_pairs
 
     docs = _t("documents")(spark, sf_dir)
-    return token_jaccard_pairs(docs, threshold=JACCARD_T)
+    return token_jaccard_pairs(docs, threshold=JACCARD_T, max_doc_freq=TOKEN_DF_CAP)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -785,10 +789,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_token_jaccard": f"""
-            WITH tok AS (
+            WITH tok0 AS (
                 SELECT doc_id AS id,
                        unnest(list_distinct(regexp_extract_all(lower(text), {_TOKEN_SQL}))) AS tok
                 FROM documents),
+            rare AS (SELECT tok FROM tok0 GROUP BY tok HAVING count(*) <= {TOKEN_DF_CAP}),
+            tok AS (SELECT t.id, t.tok FROM tok0 t JOIN rare USING (tok)),
             sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
             shared AS (
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared

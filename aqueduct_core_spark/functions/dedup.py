@@ -54,16 +54,33 @@ def token_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard similarity of distinct token sets >= t.
 
     Exact (no approximation): explode distinct tokens, self-join on token,
     count shared tokens, |A u B| = |A| + |B| - shared. Output columns:
     (id_a, id_b, jaccard).
+
+    max_doc_freq is the scale guard: a token present in k documents produces
+    k^2 rows in the self-join, so ONE stopword-like token surviving
+    tokenization across a billion docs is a cartesian bomb. Tokens with
+    document frequency > max_doc_freq are dropped from the token SETS (both
+    the join and the set sizes — "stopword-free Jaccard"), the same
+    rationale as the LSH paths' max_bucket_size. Pass None for the unguarded
+    small-SF/oracle form.
     """
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
     )
+    if max_doc_freq is not None:
+        rare = (
+            tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("tok")
+        )
+        tok = tok.join(rare, "tok", "left_semi")
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = tok.alias("a")
     b = tok.alias("b")

@@ -237,3 +237,44 @@ def test_media_from_documents_payload_bytes(spark):
     assert feats[3]["n_bytes"] == 300
     assert feats[0]["kind"] == "image" and feats[1]["kind"] == "audio" and feats[2]["kind"] == "video"
     assert all(len(r["features"]) == 4 for r in feats.values())
+
+
+def test_token_jaccard_doc_frequency_guard(spark):
+    """An adversarial stopword present in EVERY doc must not create pairs (or
+    join rows) once the df cap drops it; pair scores equal the brute-force
+    Jaccard over the capped token sets."""
+    from itertools import combinations
+
+    rows = [
+        (i, "common " + " ".join(f"w{i}x{j}" for j in range(5)) + (" shared extra" if i < 2 else ""))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(df, threshold=0.15, max_doc_freq=10).collect()
+    }
+    # brute force over capped sets ('common' df=50 > 10 -> dropped everywhere)
+    import re
+
+    sets = {}
+    all_toks = {}
+    for i, t in rows:
+        toks = set(x for x in re.split(r"[^a-z0-9']+", t.lower()) if x)
+        sets[i] = toks
+        for tok in toks:
+            all_toks[tok] = all_toks.get(tok, 0) + 1
+    capped = {i: {t for t in s if all_toks[t] <= 10} for i, s in sets.items()}
+    expect = {}
+    for a, b in combinations(sorted(capped), 2):
+        u = capped[a] | capped[b]
+        if not u:
+            continue
+        j = round(len(capped[a] & capped[b]) / len(u), 6)
+        if j >= 0.15:
+            expect[(a, b)] = j
+    assert out == expect
+    assert (0, 1) in out  # docs 0,1 still pair via 'shared extra'
+    # without the cap, 'common' glues every doc pair into the join
+    unguarded = token_jaccard_pairs(df, threshold=0.0, max_doc_freq=None)
+    assert unguarded.count() == 50 * 49 / 2
