@@ -67,22 +67,46 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal(dim).astype(np.float32)
 
 
-def decode_media(payload: bytes, kind: str, use_real: bool = False) -> np.ndarray:
+#: per-kind real decoders, registered when codec libraries exist on the
+#: cluster (register_decoder("image", pil_decode), ...). Each maps
+#: (payload: bytes, dim: int) -> np.ndarray of length dim. The ONLY stubbed
+#: surface is the codec call itself — dispatch, batching, schema and
+#: partitioning are real and tested (mock decoders injected in tests).
+_REAL_DECODERS: dict = {}
+
+
+def register_decoder(kind: str, fn) -> None:
+    _REAL_DECODERS[kind] = fn
+
+
+def decode_media(
+    payload: bytes, kind: str, use_real: bool = False, dim: int = 64, decoder=None
+) -> np.ndarray:
     if use_real:
-        # The real decoders (PIL/ffmpeg/soundfile) are not available in this
-        # container. Plug them in here on a real cluster.
-        raise NotImplementedError(f"real {kind} decode requires codec libraries")
-    return _fake_features(payload, 64)
+        fn = decoder or _REAL_DECODERS.get(kind)
+        if fn is None:
+            # The real decoders (PIL/ffmpeg/soundfile) are not available in
+            # this container. register_decoder() plugs them in on a cluster.
+            raise NotImplementedError(f"no registered decoder for {kind!r}")
+        return np.asarray(fn(payload, dim), dtype=np.float32)
+    return _fake_features(payload, dim)
 
 
-def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+def extract_features(
+    df: DataFrame, dim: int = 64, use_real: bool = False, decoder=None
+) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out; payload
-    bytes stay in Arrow buffers end to end."""
+    bytes stay in Arrow buffers end to end. With use_real=True, dispatches to
+    the per-kind registered decoders (or the injected `decoder`) — the same
+    batched plumbing either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_features(p if p is not None else b"", dim) for p in pdf["payload"]
+                decode_media(
+                    p if p is not None else b"", k, use_real=use_real, dim=dim, decoder=decoder
+                )
+                for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {

@@ -278,3 +278,40 @@ def test_token_jaccard_doc_frequency_guard(spark):
     # without the cap, 'common' glues every doc pair into the join
     unguarded = token_jaccard_pairs(df, threshold=0.0, max_doc_freq=None)
     assert unguarded.count() == 50 * 49 / 2
+
+
+def test_real_decoder_dispatch_injection(spark):
+    """use_real=True dispatches per-kind through the decoder registry /
+    injection — the stub boundary is ONLY the codec call."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_media,
+        extract_features,
+        media_from_documents,
+        register_decoder,
+    )
+
+    docs = spark.createDataFrame([(0, "aa"), (1, "bbbb"), (2, "cccccc")], "doc_id long, text string")
+    media = media_from_documents(docs)
+
+    def fake_codec(payload, dim):
+        return np.full(dim, float(len(payload)))
+
+    # injected decoder used for every kind
+    feats = {r["media_id"]: r for r in extract_features(media, dim=3, use_real=True, decoder=fake_codec).collect()}
+    assert feats[0]["features"] == [2.0, 2.0, 2.0]
+    assert feats[1]["features"] == [4.0, 4.0, 4.0]
+    assert feats[2]["features"] == [6.0, 6.0, 6.0]
+    # registry dispatch per kind; unregistered kind raises NotImplementedError
+    register_decoder("image", fake_codec)
+    try:
+        assert list(decode_media(b"xyz", "image", use_real=True, dim=2)) == [3.0, 3.0]
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            decode_media(b"xyz", "video", use_real=True, dim=2)
+    finally:
+        from aqueduct_core_spark.functions import multimodal as _mm
+
+        _mm._REAL_DECODERS.clear()
