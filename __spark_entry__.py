@@ -461,6 +461,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(indexed, cents, [float(x) for x in qvec], k=TOPK, nprobe=6)
 
 
+def q_ann_ivf_batch_topk(spark, sf_dir):
+    """Batched IVF: MANY query vectors answered in ONE pass (per-query probe
+    lists broadcast-joined on ivf_list, window top-k per query) — what a real
+    pipeline runs instead of one job per query. Oracle = exact per-query
+    top-k."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.ivf import assign_lists, ivf_topk_batch, train_centroids
+
+    emb = _t("embeddings")(spark, sf_dir)
+    cents = train_centroids(emb, n_centroids=8, sample_size=1024, seed=42)
+    indexed = assign_lists(emb, cents)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_batch(indexed, cents, queries, k=TOPK, nprobe=7)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature plumbing over REAL Arrow-resident binary payloads
     (media derived deterministically from the documents table): n_bytes is
@@ -514,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_neardup_lsh": q_ann_neardup_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -840,6 +858,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, {_cos_sql('embedding', '(SELECT qe FROM q)')} AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT {TOPK}
+        """,
+        "ann_ivf_batch_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       {_cos_sql('e.embedding', 'q.qe')} AS cosine
+                FROM embeddings e CROSS JOIN q),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM scored)
+            SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= {TOPK}
         """,
         "multimodal_features": f"""
             SELECT doc_id AS media_id,
