@@ -152,10 +152,16 @@ def merge_change_batch(
         if salt and salt > 1:
             src = lww_dedup(src, salt=salt)
         src = src.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))
-        # src feeds multiple consumers (the bucket probe + both sides of
-        # resolve_lww); without a persist each one recomputes the normalize +
-        # dedup DAG from the source batch.
-        src = src.persist()
+        # COW: src feeds the bucket-probe collect AND both resolve_lww
+        # consumers — persist so the normalize/dedup DAG runs once instead of
+        # three times. MOR deliberately does NOT persist: its two consumers
+        # are one cheap column-pruned scan each, and materializing a
+        # multi-million-row batch into the block store costs more than the
+        # recompute (measured at 8M events / 2 batches on local[32]:
+        # MOR 345k ev/s unpersisted vs 115k persisted; COW 260k persisted vs
+        # 86k unpersisted — each mode 3x better on its own side).
+        if mode != "mor":
+            src = src.persist()
         try:
             if mode == "mor":
                 # Merge-on-read (the reference's own shape: the edge store APPENDS
@@ -180,7 +186,8 @@ def merge_change_batch(
                 new_files = table.write_files(guarded, snap)
                 keep = [f for f in snap.files if f["bucket"] not in set(affected)]
         finally:
-            src.unpersist()
+            if mode != "mor":
+                src.unpersist()
 
         txn = dict(snap.txn)
         txn[writer_id] = batch_id
