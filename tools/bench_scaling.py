@@ -41,12 +41,23 @@ def run_one(cpus: int, n_events: int) -> dict:
     return json.loads(line)
 
 
+def best_of(cpus: int, n_events: int, repeats: int) -> dict:
+    """Best (min wall) of N runs: the VM shares a physical host with invisible
+    co-tenants whose load varies by hours — a transiently-starved leg would
+    otherwise report code-independent efficiency (measured: the SAME commit's
+    local[16] leg varied 62s..268s across a day). Best-of-N is the standard
+    guard; each run is still a full fresh-JVM replay."""
+    runs = [run_one(cpus, n_events)["cdc_replay"] for _ in range(repeats)]
+    return min(runs, key=lambda r: r["sec"])
+
+
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     lo = int(os.environ.get("AQ_SCALE_LO", "4"))
     hi = int(os.environ.get("AQ_SCALE_HI", "16"))
-    r_lo = run_one(lo, n_events)["cdc_replay"]  # fresh JVM per run
-    r_hi = run_one(hi, n_events)["cdc_replay"]
+    repeats = int(os.environ.get("AQ_SCALE_REPEATS", "2"))
+    r_lo = best_of(lo, n_events, repeats)  # fresh JVM per run
+    r_hi = best_of(hi, n_events, repeats)
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     result = {
         "metric": f"CDC replay scaling efficiency local[{lo}] -> local[{hi}]",
