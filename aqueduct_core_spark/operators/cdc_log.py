@@ -43,7 +43,19 @@ def read_page(
 
     end_lsn is the visibility watermark: reads never pass the published global
     latest offset (PostgresqlStorage.java:129-131, 450-452).
+
+    Scale note: a page is BY DEFINITION a sequential LSN prefix, so the
+    byte-cap window is a global ORDER BY — executed over at most `limit` rows
+    (or the lsn range) thanks to the preceding limit/range filters. Always
+    bound a byte-capped read with `limit` and/or `end_lsn`; an unbounded
+    max_batch_bytes scan would funnel the whole log through one task (raised
+    below rather than silently planned).
     """
+    if max_batch_bytes is not None and limit is None and end_lsn is None:
+        raise ValueError(
+            "max_batch_bytes needs a bound (limit or end_lsn): the running-"
+            "byte window over an unbounded log is a single-task global sort"
+        )
     out = df.filter(F.col(lsn) >= start_lsn)
     if end_lsn is not None:
         out = out.filter(F.col(lsn) <= end_lsn)
