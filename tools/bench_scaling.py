@@ -56,6 +56,10 @@ def main():
     lo = int(os.environ.get("AQ_SCALE_LO", "4"))
     hi = int(os.environ.get("AQ_SCALE_HI", "16"))
     repeats = int(os.environ.get("AQ_SCALE_REPEATS", "2"))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from host_health import probe  # measure the confounder, don't assert it
+
+    health = probe()
     r_lo = best_of(lo, n_events, repeats)  # fresh JVM per run
     r_hi = best_of(hi, n_events, repeats)
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
@@ -67,6 +71,7 @@ def main():
         "speedup": round(r_lo["sec"] / r_hi["sec"], 3),
         "efficiency": round(eff, 3),
         "pass": eff >= 0.8,
+        "host_health": health,
     }
     print(json.dumps(result))
 
@@ -93,6 +98,11 @@ lineage.
 
 speedup = {result['speedup']}x over a {hi//lo}x core increase ->
 **scaling efficiency = {result['efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+
+Host health at measurement time (tools/host_health.py — aggregate memory
+bandwidth; the shared physical host throttles it under co-tenant load, which
+caps ANY bandwidth-bound job's scaling regardless of code):
+`{json.dumps(health)}`
 
 Extrapolation to the 10^10-event target: at local[{hi}] sustained
 {r_hi['events_per_sec']:,} events/s this single node replays 10^10 events in
