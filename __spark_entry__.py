@@ -251,6 +251,33 @@ def q_olap_priority_semijoin(spark, sf_dir):
     )
 
 
+def q_cdc_mark_sweep_survivors(spark, sf_dir):
+    """Postgres deletion compaction (mark TTL from latest unstamped tombstone
+    at/below the threshold, sweep expired) over the events log — the J3
+    family's full operator (PostgresqlStorage.java:469-488). The events table
+    has no pre-stamped TTLs and cluster==routing, so survivors = rows above
+    their key's latest in-window tombstone; the oracle expresses exactly
+    that."""
+    _conf(spark)
+    from aqueduct_core_spark.operators.cdc_log import mark_and_sweep_deletions
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cluster_id", F.pmod(F.col("user_id"), F.lit(N_ROUTING))
+    ).withColumn("routing_id", F.pmod(F.col("user_id"), F.lit(N_ROUTING)))
+    out = mark_and_sweep_deletions(
+        ev,
+        deletion_threshold_ts=DELETE_TS,
+        now_ts=COMPACT_TS,
+        key_cols=["user_id"],
+        lsn="event_id",
+        ts="ts",
+        is_delete=_is_delete(),
+        cluster_col="cluster_id",
+        routing_col="routing_id",
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q_cdc_visibility_window(spark, sf_dir):
     """Visibility-bounded read (reference T2/F2: reads never pass the global
     latest offset published at a time threshold;
@@ -512,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage_watermarks": q_cdc_lineage_watermarks,
         "cdc_hourly_rollup": q_cdc_hourly_rollup,
         "cdc_visibility_window": q_cdc_visibility_window,
+        "cdc_mark_sweep_survivors": q_cdc_mark_sweep_survivors,
         "olap_segment_stats": q_olap_segment_stats,
         "text_top_bigrams": q_text_top_bigrams,
         "olap_pricing_summary": q_olap_pricing_summary,
@@ -742,6 +770,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "cdc_mark_sweep_survivors": f"""
+            SELECT e.event_id, e.user_id, e.event_type FROM events e
+            LEFT JOIN (
+                SELECT user_id, max(event_id) AS last_del FROM events
+                WHERE event_type = 'error' AND ts <= TIMESTAMP '{DELETE_TS}'
+                GROUP BY user_id) d
+            ON d.user_id = e.user_id
+            WHERE d.last_del IS NULL OR e.event_id > d.last_del
         """,
         "cdc_visibility_window": f"""
             SELECT count(*) AS n_visible, max(event_id) AS visible_latest

@@ -112,3 +112,26 @@ def test_no_accessible_service_raises(spark, tmp_path):
     with pytest.raises(NoAccessibleService):
         eng.run_with_failover(services, max_rounds=3)
     assert services.following() == []
+
+
+def test_registry_follow_chain_feeds_failover(spark, tmp_path):
+    """End-to-end tie: the registry tree's requested_to_follow chain IS the
+    ServiceList an ingest node consumes — when its parent mirror dies, the
+    chain's next hop (here: the cloud) takes over and the node converges."""
+    from aqueduct_core_spark.registry import NodeGroup, RegistryNode, Status
+
+    feed, parent_dir, cloud_dir = build_mirrors(spark, tmp_path)
+    # a 2-node group: node-a is the root (follows cloud), node-b follows a
+    group = NodeGroup(cloud_url=cloud_dir)
+    group.register(RegistryNode(host="node-a", local_url=parent_dir, status=Status.OK))
+    group.register(RegistryNode(host="node-b", local_url=str(tmp_path / "b-local")))
+    chain = group.follow_chain("node-b")
+    assert chain == [parent_dir, cloud_dir]  # parent first, cloud last
+
+    eng = IngestEngine(
+        spark, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), n_buckets=8, merge_mode="mor"
+    )
+    services = ServiceList(chain)
+    rounds = eng.run_with_failover(services, max_rounds=8)
+    assert any(e.startswith("stalled->failover") for e in [r["event"] for r in rounds])
+    assert view(spark, eng.table_root) == oracle_view(spark, feed)
