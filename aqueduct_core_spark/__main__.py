@@ -33,6 +33,9 @@ def _spark(app: str):
 def cmd_ingest(args) -> int:
     from aqueduct_core_spark.streaming.engine import IngestEngine
 
+    if not args.log and not args.follow:
+        print("ingest needs --log or --follow", file=sys.stderr)
+        return 2
     spark = _spark("aqueduct-ingest")
     transform = None
     if args.normalize:
@@ -49,6 +52,27 @@ def cmd_ingest(args) -> int:
         entity_filter=args.entities.split(",") if args.entities else None,
         transform=transform,
     )
+    if args.bootstrap:
+        eng.bootstrap(args.bootstrap, delay_ms=args.bootstrap_delay_ms)
+    if args.follow:
+        # failover tail over an ordered follow chain (registry semantics)
+        from aqueduct_core_spark.registry import ServiceList
+
+        rounds = eng.run_with_failover(
+            ServiceList(args.follow.split(",")),
+            max_rounds=args.max_rounds,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({"rounds": rounds, "pipe_state": eng.pipe_state()}))
+        return 0
+    if args.adaptive:
+        rounds = eng.run_adaptive(
+            args.log,
+            max_files_per_trigger=args.max_files_per_trigger,
+            max_rounds=args.max_rounds,
+        )
+        print(json.dumps({"rounds": rounds, "pipe_state": eng.pipe_state()}))
+        return 0
     if args.continuous:
         q = eng.run(
             args.log,
@@ -104,7 +128,7 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest", help="tail a change log into the transcript table")
-    pi.add_argument("--log", required=True)
+    pi.add_argument("--log", default=None, help="feed directory (or use --follow)")
     pi.add_argument("--table", required=True)
     pi.add_argument("--checkpoint", required=True)
     pi.add_argument("--mode", choices=["cow", "mor"], default="mor")
@@ -114,6 +138,23 @@ def main(argv=None) -> int:
     pi.add_argument("--routing", default=None, help="comma-separated routing ids")
     pi.add_argument("--entities", default=None, help="comma-separated entity filter")
     pi.add_argument("--normalize", action="store_true", help="Arrow payload normalization")
+    pi.add_argument(
+        "--bootstrap",
+        default=None,
+        choices=[
+            "NONE", "PROVIDER", "PIPE", "PIPE_AND_PROVIDER",
+            "PIPE_WITH_DELAY", "PIPE_AND_PROVIDER_WITH_DELAY", "CORRUPTION_RECOVERY",
+        ],
+        help="run a bootstrap transition before ingesting",
+    )
+    pi.add_argument("--bootstrap-delay-ms", type=int, default=0)
+    pi.add_argument(
+        "--follow",
+        default=None,
+        help="comma-separated follow chain of feed mirrors (failover tail; overrides --log)",
+    )
+    pi.add_argument("--adaptive", action="store_true", help="adaptive Retry-After tail loop")
+    pi.add_argument("--max-rounds", type=int, default=10)
     pi.set_defaults(fn=cmd_ingest)
 
     pc = sub.add_parser("compact", help="fold deltas + purge aged tombstones")
