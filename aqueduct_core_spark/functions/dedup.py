@@ -172,18 +172,21 @@ def lsh_candidate_pairs(
     ).select("id", "sig", "bb.band", "bb.bucket")
     # the signature pipeline (explode shingles + N min-aggs) is expensive and
     # feeds the bucket-count side, the semi-join probe, and both self-join
-    # sides — cache the tiny banded table (n_docs x bands rows) so it runs once
-    banded = banded.persist()
+    # sides — cache the tiny banded table (n_docs x bands rows) so it runs once.
+    # `cached` stays a separate handle: reassigning `banded` below would make
+    # the final unpersist() target the (uncached) join plan and leak blocks.
+    cached = banded.persist()
+    banded = cached
     if max_bucket_size is not None:
         w_count = (
-            banded.groupBy("band", "bucket")
+            cached.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") <= max_bucket_size)
             .select("band", "bucket")
         )
         # plain semi-join (AQE broadcasts when small; at 100 TB the bucket-count
         # side can be huge, so no forced broadcast)
-        banded = banded.join(w_count, ["band", "bucket"], "left_semi")
+        banded = cached.join(w_count, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -222,7 +225,7 @@ def lsh_candidate_pairs(
     # blocks across calls in a long-lived session. localCheckpoint truncates
     # the lineage so the returned plan no longer references the cache.
     pairs = pairs.localCheckpoint(eager=True)
-    banded.unpersist()
+    cached.unpersist()
     return pairs
 
 
@@ -405,15 +408,17 @@ def simhash_near_pairs_words(
             ])
         ).alias("bc"),
     ).select("id", "sim_hi", "sim_lo", "bc.band", "bc.chunk")
-    chunks = chunks.persist()
+    # separate cache handle — reassignment below must not shadow the cached plan
+    cached = chunks.persist()
+    chunks = cached
     if max_bucket_size is not None:
         ok = (
-            chunks.groupBy("band", "chunk")
+            cached.groupBy("band", "chunk")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") <= max_bucket_size)
             .select("band", "chunk")
         )
-        chunks = chunks.join(ok, ["band", "chunk"], "left_semi")
+        chunks = cached.join(ok, ["band", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -444,7 +449,7 @@ def simhash_near_pairs_words(
         .select("id_a", "id_b", "hamming")
     )
     out = out.localCheckpoint(eager=True)
-    chunks.unpersist()
+    cached.unpersist()
     return out
 
 
@@ -474,15 +479,17 @@ def simhash_near_pairs(
             ])
         ).alias("bc"),
     ).select("id", "simhash", "bc.band", "bc.chunk")
-    chunks = chunks.persist()  # same reuse pattern as lsh_candidate_pairs
+    # same reuse + separate-handle pattern as lsh_candidate_pairs
+    cached = chunks.persist()
+    chunks = cached
     if max_bucket_size is not None:
         ok = (
-            chunks.groupBy("band", "chunk")
+            cached.groupBy("band", "chunk")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") <= max_bucket_size)
             .select("band", "chunk")
         )
-        chunks = chunks.join(ok, ["band", "chunk"], "left_semi")
+        chunks = cached.join(ok, ["band", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -506,5 +513,5 @@ def simhash_near_pairs(
     )
     # same cache-release pattern as lsh_candidate_pairs
     out = out.localCheckpoint(eager=True)
-    chunks.unpersist()
+    cached.unpersist()
     return out

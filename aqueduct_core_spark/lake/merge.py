@@ -248,8 +248,14 @@ def resolve_lww(df: DataFrame) -> DataFrame:
 
     # Conversation-delete cascade: every turn older than the latest
     # conversation delete is gone; newer turns (re-created conversation)
-    # survive. Built from a pre-filtered plan so the broadcast build does not
-    # re-run the full aggregation.
+    # survive. Built from a pre-filtered plan so the join build side does not
+    # re-run the full aggregation. NO forced broadcast: within a micro-batch
+    # the tombstone dim is batch-bounded, but resolve_lww also runs on the MOR
+    # read path over base ∪ delta, where it holds every conversation-delete
+    # sentinel since the last compaction — unbounded at 10^10 events. AQE
+    # broadcasts it when the runtime size is under the threshold and falls
+    # back to a shuffled hash join otherwise (see tests/test_lake_merge.py::
+    # test_resolve_lww_tombstone_join_not_forced_broadcast).
     tomb_rows = df.filter(F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX))
     conv_tombs = (
         tomb_rows.groupBy("conv_id")
@@ -262,7 +268,7 @@ def resolve_lww(df: DataFrame) -> DataFrame:
     )
     return (
         merged.join(
-            F.broadcast(conv_tombs), merged["conv_id"] == conv_tombs["_t_conv"], "left"
+            conv_tombs, merged["conv_id"] == conv_tombs["_t_conv"], "left"
         )
         .filter(
             (F.col("turn_idx") < F.lit(0))  # sentinel rows always survive

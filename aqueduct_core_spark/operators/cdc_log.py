@@ -232,7 +232,10 @@ def mark_and_sweep_deletions(
     cond = (F.col(cluster_col) == F.col("_k_cluster"))
     for k in key_cols:
         cond = cond & (F.col(k) == F.col(f"_k_{k}"))
-    joined = df.join(F.broadcast(last_del), cond, "left")
+    # no forced broadcast: last_del holds every key with an aged tombstone in
+    # the retention window — unbounded between compactions at 10^10 events.
+    # AQE picks broadcast when the runtime size allows, shuffle join otherwise.
+    joined = df.join(last_del, cond, "left")
     # no ttl.isNull() here: the reference UPDATE overwrites existing TTLs
     marked = F.col("_last_del").isNotNull() & (F.col(lsn) <= F.col("_last_del"))
     expired = ttl.isNotNull() & (ttl <= F.lit(now_ts))

@@ -169,6 +169,23 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     }
 
 
+def host_health() -> dict | None:
+    """Memory-bandwidth probe (tools/host_health.py) embedded in the output so
+    a regressed replay number is adjudicable in-artifact: this VM shares a
+    physical host, and co-tenant load caps ANY bandwidth-bound Spark job's
+    throughput regardless of code (measured: the same commit's local[16] leg
+    varied 62s..268s across one day). Skip with AQ_BENCH_NO_HEALTH=1."""
+    if os.environ.get("AQ_BENCH_NO_HEALTH") == "1":
+        return None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from host_health import probe
+
+        return probe()
+    except Exception as e:  # the probe must never sink the bench itself
+        return {"error": str(e)}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     requested_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -211,6 +228,9 @@ def main():
     }
     if replay:
         result["cdc_replay"] = replay
+    health = host_health()
+    if health is not None:
+        result["host_health"] = health
     print(json.dumps(result))
 
 

@@ -315,3 +315,38 @@ def test_real_decoder_dispatch_injection(spark):
         from aqueduct_core_spark.functions import multimodal as _mm
 
         _mm._REAL_DECODERS.clear()
+
+
+def test_lsh_and_simhash_release_cached_blocks(spark, docs):
+    """Regression for the guarded-path cache leak: when max_bucket_size is set,
+    the persisted banded/chunk table is semi-joined and the result reassigned —
+    unpersist() must still target the ORIGINAL cached plan, not the join.
+    After each call no new RDD may remain cached in the session."""
+    from aqueduct_core_spark.functions.dedup import (
+        simhash_near_pairs_words,
+        simhash_words,
+    )
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = n_cached()
+    live = docs.filter("text != ''")
+
+    # Each call legitimately leaves ONE cached RDD alive: the localCheckpoint
+    # backing the returned DataFrame (released when the result is GC'd). The
+    # leak added a SECOND — the orphaned banded/chunk cache — per call.
+    sigs = minhash_signatures(live, num_hashes=32, shingle_n=3)
+    p1 = lsh_candidate_pairs(sigs, bands=8, verify_threshold=0.5, max_bucket_size=256)
+    p1.collect()
+    assert n_cached() <= base + 1
+
+    sim = simhash64(live)
+    p2 = simhash_near_pairs(sim, max_hamming=8, bands=4, max_bucket_size=1024)
+    p2.collect()
+    assert n_cached() <= base + 2
+
+    simw = simhash_words(live)
+    p3 = simhash_near_pairs_words(simw, max_hamming=6, bands=8, max_bucket_size=64)
+    p3.collect()
+    assert n_cached() <= base + 3

@@ -261,3 +261,53 @@ def test_time_travel_and_expire(spark, tmp_table_dir):
     removed = t.expire_snapshots(keep_last=1)
     assert removed >= 0
     assert read_transcripts(t).count() == 0
+
+
+def test_resolve_lww_tombstone_join_not_forced_broadcast(spark):
+    """The conversation-tombstone dimension is unbounded on the MOR read path
+    (every conv-delete sentinel since last compaction) — the cascade join must
+    not carry a forced broadcast hint. With the broadcast thresholds disabled
+    (simulating a build side too large to broadcast) the join must plan as a
+    non-broadcast join; a F.broadcast() hint would override the threshold and
+    keep BroadcastHashJoin in the plan. Same check for mark-and-sweep's
+    aged-tombstone dimension (reference runs both server-side with no size
+    assumption, PostgresqlStorage.java:473-488)."""
+    from datetime import datetime
+
+    from aqueduct_core_spark.lake.merge import normalize_events, resolve_lww
+    from aqueduct_core_spark.operators.cdc_log import mark_and_sweep_deletions
+    from aqueduct_core_spark.plans.inspect import explain_str
+    from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+
+    events = [
+        ev(1, conv="A", turn=0),
+        ev(2, "D", entity="conversation", conv="A", turn=None),
+        ev(3, conv="A", turn=1),
+    ]
+    raw = normalize_events(events_df(spark, events), TRANSCRIPT_PHYSICAL_SCHEMA)
+    sweep_df = spark.createDataFrame(
+        [(1, "A", 1, 1, datetime(2000, 12, 1), "D", None),
+         (2, "A", 1, 1, datetime(2000, 12, 2), "I", None)],
+        "change_lsn long, conv_id string, cluster_id long, routing_id long, "
+        "ts timestamp, op string, ttl timestamp",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        resolved = resolve_lww(raw)
+        assert "BroadcastHashJoin" not in explain_str(resolved, "simple")
+        # semantics unchanged under the shuffled plan: cascade still applies
+        alive = {(r["conv_id"], r["turn_idx"]) for r in
+                 resolved.filter("turn_idx >= 0 and not _deleted").collect()}
+        assert alive == {("A", 1)}
+
+        swept = mark_and_sweep_deletions(
+            sweep_df, deletion_threshold_ts=datetime(2000, 12, 10),
+            now_ts=datetime(2000, 12, 20), key_cols=["conv_id"],
+        )
+        assert "BroadcastHashJoin" not in explain_str(swept, "simple")
+        # tombstone (lsn 1) marks itself and dies; lsn 2 is newer and survives
+        assert [r["change_lsn"] for r in swept.collect()] == [2]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
