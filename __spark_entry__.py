@@ -519,6 +519,24 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes", F.size("features").alias("dim"))
 
 
+def q_multimodal_decode_real(spark, sf_dir):
+    """REAL lib-free multimodal decode: documents -> spec-valid WAV/PPM
+    containers (samples/pixels = the UTF-8 text bytes, built distributed in
+    mapInPandas) -> pure-numpy RIFF-chunk-walk / P6 parsers -> per-file
+    summary whose content_md5 is the md5 of the DECODED samples. The oracle
+    recomputes every column from the source table, so header parsing and
+    sample extraction are hash-gated bit-for-bit."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        real_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = real_media_from_documents(docs, limit=MEDIA_LIMIT)
+    return decode_real_summary(media)
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -561,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode_real": q_multimodal_decode_real,
     }
 
 
@@ -916,6 +935,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    {MEDIA_DIM} AS dim
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # WAV samples / PPM pixels ARE the text bytes, so every decoded field
+        # is recomputable from the source table; content_md5 gates the decoded
+        # byte stream itself (md5(text) == md5 of UTF-8 bytes in both engines)
+        "multimodal_decode_real": f"""
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 255 END AS INTEGER) AS rate,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN octet_length(encode(text)) * 1000 // 16000
+                        ELSE 1 END AS INTEGER) AS duration_ms,
+                   md5(text) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,
     }

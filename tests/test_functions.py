@@ -147,7 +147,11 @@ def test_multimodal_plumbing(spark):
     vids = {r["media_id"] for r in fr}
     assert vids == {r["media_id"] for r in media.filter("kind = 'video'").collect()}
 
+    # video needs real codec libs -> still the documented stub boundary;
+    # image now has a built-in real parser, which rejects unknown containers
     with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "video", use_real=True)
+    with pytest.raises(ValueError):
         decode_media(b"xx", "image", use_real=True)
 
 
@@ -350,3 +354,109 @@ def test_lsh_and_simhash_release_cached_blocks(spark, docs):
     p3 = simhash_near_pairs_words(simw, max_hamming=6, bands=8, max_bucket_size=64)
     p3.collect()
     assert n_cached() <= base + 3
+
+
+def test_real_codecs_roundtrip(spark):
+    """Pure-numpy WAV/PPM/BMP encode -> decode round trips, including the
+    non-trivial container details: chunk walking past extra chunks, 16-bit
+    stereo PCM, BMP row padding and bottom-up flip."""
+    import struct
+
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        bmp_bytes,
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        ppm_bytes,
+        wav_bytes,
+    )
+
+    # 8-bit mono WAV: samples are the raw bytes
+    data = bytes(range(0, 250, 5))
+    wav = decode_wav(wav_bytes(data, sample_rate=8000))
+    assert (wav["sample_rate"], wav["channels"], wav["bits"]) == (8000, 1, 8)
+    assert wav["n_samples"] == len(data)
+    assert wav["samples"].tobytes() == data
+
+    # 16-bit stereo WAV with an extra LIST chunk between fmt and data
+    pcm = np.arange(-6, 6, dtype="<i2")  # 12 values -> 6 stereo frames
+    raw = wav_bytes(pcm.tobytes(), sample_rate=44100, channels=2, bits=16)
+    # splice an unknown chunk after fmt (offset 12+24=36) to exercise the walk
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> pad byte
+    raw = raw[:36] + extra + raw[36:]
+    raw = raw[:4] + struct.pack("<I", len(raw) - 8) + raw[8:]
+    wav2 = decode_wav(raw)
+    assert (wav2["sample_rate"], wav2["channels"], wav2["bits"]) == (44100, 2, 16)
+    assert wav2["n_samples"] == 6 and wav2["samples"].shape == (6, 2)
+    assert wav2["samples"].tobytes() == pcm.tobytes()
+
+    # PPM: R=G=B gray row; comment-tolerant header; empty payload works
+    img = decode_ppm(ppm_bytes(data))
+    assert (img["width"], img["height"], img["maxval"]) == (len(data), 1, 255)
+    assert img["pixels"][:, :, 0].tobytes() == data
+    assert img["pixels"][:, :, 2].tobytes() == data
+    commented = b"P6\n# a comment\n3 1\n255\n" + b"\x01\x01\x01\x02\x02\x02\x03\x03\x03"
+    assert decode_ppm(commented)["pixels"][0, 2, 0] == 3
+    empty = decode_ppm(ppm_bytes(b""))
+    assert empty["width"] == 0 and empty["pixels"].size == 0
+
+    # BMP: width 3 -> 9-byte rows padded to 12; BGR on disk -> RGB out
+    bgr = decode_bmp(bmp_bytes(data[:3]))
+    assert (bgr["width"], bgr["height"]) == (3, 1)
+    assert bgr["pixels"][:, :, 0].tobytes() == data[:3]
+
+
+def test_extract_features_use_real_builtin(spark):
+    """use_real=True is a genuinely exercised path for audio/image via the
+    built-in WAV/PPM parsers — no injected decoder; video (needs real codec
+    libs) still raises through the same dispatch."""
+    from aqueduct_core_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        ppm_bytes,
+        wav_bytes,
+    )
+
+    rows = [
+        (0, "audio", bytearray(wav_bytes(bytes([10, 20, 30, 40]), sample_rate=2000)), {}),
+        (1, "image", bytearray(ppm_bytes(bytes([100, 200]))), {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"] for r in extract_features(media, dim=6, use_real=True).collect()}
+    # audio head: [sample_rate, channels, bits, n_samples, duration_ms]
+    assert feats[0][:4] == [2000.0, 1.0, 8.0, 4.0]
+    assert feats[0][4] == pytest.approx(4 * 1000.0 / 2000)
+    # image head: [width, height, meanR, meanG, meanB]
+    assert feats[1][:5] == [2.0, 1.0, 150.0, 150.0, 150.0]
+
+    bad = spark.createDataFrame([(2, "video", bytearray(b"xx"), {})], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|no registered decoder"):
+        extract_features(bad, dim=4, use_real=True).collect()
+
+
+def test_decode_real_summary_matches_source(spark):
+    """The oracle contract locally: decoded-content md5 == md5 of the source
+    text bytes, n_units == byte length, for both WAV and PPM branches."""
+    import hashlib
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        real_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "caffé"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["media_id"]: r for r in decode_real_summary(real_media_from_documents(docs)).collect()}
+    for did, text in [(0, "hello world"), (1, "caffé"), (2, ""), (3, "x")]:
+        b = text.encode("utf-8")
+        r = out[did]
+        assert r["kind"] == ("audio" if did % 2 == 0 else "image")
+        assert r["n_units"] == len(b)
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
+        if did % 2 == 0:
+            assert r["rate"] == 16000 and r["duration_ms"] == len(b) * 1000 // 16000
+        else:
+            assert r["rate"] == 255 and r["duration_ms"] == 1
