@@ -17,7 +17,10 @@ the reference's in-memory model.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field, replace
 from enum import IntEnum
 
 CHILDREN_PER_NODE = 2  # binary tree (SubNodeGroup.java:20)
@@ -120,6 +123,125 @@ class NodeGroup:
         import math
 
         return 0 if not self.nodes else int(math.log2(len(self.nodes))) + 1
+
+
+# ---------------------------------------------------------------- persistence
+class PersistentNodeRegistry:
+    """Durable multi-group registry with optimistic version CAS.
+
+    The reference persists each node group as one versioned row and retries on
+    concurrent modification (read version -> mutate -> UPDATE ... WHERE
+    version = read version; PostgreSQLNodeRegistry.java:57-85,
+    PostgresNodeGroup.java:33-41). Here the group map is one immutable JSON
+    document per version, published with the same atomic create-if-absent
+    hard link the lake manifest commit uses (lake/table.py::_write_manifest) —
+    a losing writer sees the version taken, re-reads, re-applies its mutation,
+    and retries. Follow chains and tree positions therefore survive a driver
+    restart: a fresh object over the same root reconstructs identical state.
+    """
+
+    def __init__(self, root: str, cloud_url: str):
+        self.root = root
+        self.cloud_url = cloud_url
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ state io
+    def _path(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version:010d}.json")
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.root)
+            if f.startswith("v") and f.endswith(".json") and ".tmp." not in f
+        )
+
+    def version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _load(self) -> tuple[int, dict[str, NodeGroup]]:
+        v = self.version()
+        if v == 0:
+            return 0, {}
+        with open(self._path(v)) as f:
+            doc = json.load(f)
+        groups: dict[str, NodeGroup] = {}
+        for name, g in doc["groups"].items():
+            ng = NodeGroup(g["cloud_url"])
+            ng.nodes = [
+                RegistryNode(
+                    host=n["host"],
+                    local_url=n["local_url"],
+                    status=Status(n["status"]),
+                    generation=Generation(n["generation"]),
+                    last_seen=n["last_seen"],
+                    offset=n["offset"],
+                    requested_to_follow=list(n["requested_to_follow"]),
+                )
+                for n in g["nodes"]
+            ]
+            groups[name] = ng
+        return v, groups
+
+    def _try_commit(self, version: int, groups: dict[str, NodeGroup]) -> bool:
+        doc = {
+            "version": version,
+            "groups": {
+                name: {"cloud_url": g.cloud_url, "nodes": [asdict(n) for n in g.nodes]}
+                for name, g in groups.items()
+            },
+        }
+        final = self._path(version)
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # atomic create-if-absent => optimistic CAS
+            return True
+        except FileExistsError:
+            return False  # concurrent writer won this version — caller retries
+        finally:
+            os.unlink(tmp)
+
+    def _mutate(self, group: str, fn):
+        """Read-modify-CAS loop: `fn(node_group)` is re-applied from a fresh
+        read after every lost race, exactly the reference's retry semantics."""
+        while True:
+            v, groups = self._load()
+            g = groups.setdefault(group, NodeGroup(self.cloud_url))
+            result = fn(g)
+            if self._try_commit(v + 1, groups):
+                return result
+
+    # ------------------------------------------------------------ operations
+    def register(self, group: str, node: RegistryNode) -> RegistryNode:
+        return self._mutate(group, lambda g: g.register(node))
+
+    def remove(self, group: str, host: str) -> bool:
+        return self._mutate(group, lambda g: g.remove(host))
+
+    def handle_offline(self, group: str, mark_before: float, remove_before: float) -> None:
+        self._mutate(group, lambda g: g.handle_offline(mark_before, remove_before))
+
+    def sort_nodes(self, group: str) -> None:
+        self._mutate(group, lambda g: g.sort_nodes())
+
+    # ------------------------------------------------------------ inspection
+    def get_group(self, group: str) -> NodeGroup:
+        _, groups = self._load()
+        if group not in groups:
+            raise KeyError(group)
+        return groups[group]
+
+    def follow_chain(self, group: str, host: str) -> list[str]:
+        return self.get_group(group).follow_chain(host)
+
+    def groups(self) -> list[str]:
+        _, gs = self._load()
+        return sorted(gs)
 
 
 # ---------------------------------------------------------------- consumer side

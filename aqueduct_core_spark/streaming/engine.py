@@ -452,6 +452,17 @@ class IngestEngine:
 
         if not hasattr(self, "_mirror_engines"):
             self._mirror_engines: dict[str, IngestEngine] = {}
+        if url in self._mirror_engines:
+            # Revisited mirror (e.g. a revived primary): lift its replay floor
+            # to the CURRENT applied watermark — the floor cached at first
+            # creation is stale after other mirrors advanced the table.
+            # (Re-applies below the old floor were already idempotent via
+            # checkpoint + LWW; the refresh avoids re-reading them at all.)
+            eng = self._mirror_engines[url]
+            if LakeTable.exists(self.table_root):
+                hw = self.high_watermark()
+                eng.min_lsn = hw if eng.min_lsn is None else max(eng.min_lsn, hw)
+            return eng
         if url not in self._mirror_engines:
             tag = hashlib.md5(url.encode()).hexdigest()[:10]
             self._mirror_engines[url] = IngestEngine(
@@ -488,6 +499,21 @@ class IngestEngine:
         engine is up to date and returns."""
         rounds: list[dict] = []
         for _ in range(max_rounds):
+            # Re-probe DOWN mirrors and revive any that is reachable AND ahead
+            # of our applied watermark (the reference health-checks dead
+            # services back to UP, PipeServiceInstance.checkState) — so a
+            # recovered primary earlier in the follow chain is re-selected.
+            # "Ahead" is the revival bar, not mere reachability: a frozen
+            # mirror that stalled at/behind our watermark stays DOWN, which
+            # prevents a stall->failover->revive livelock.
+            up = set(services.following())
+            down = [u for u in services.all_urls() if u not in up]
+            if down:
+                hw = self.high_watermark()
+                for u in down:
+                    latest = self._mirror_latest_lsn(u)
+                    if latest is not None and latest > hw:
+                        services.mark_up(u)
             url = services.first_up()  # raises NoAccessibleService when none
             try:
                 sub = self._engine_for_mirror(url)

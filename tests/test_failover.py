@@ -135,3 +135,32 @@ def test_registry_follow_chain_feeds_failover(spark, tmp_path):
     rounds = eng.run_with_failover(services, max_rounds=8)
     assert any(e.startswith("stalled->failover") for e in [r["event"] for r in rounds])
     assert view(spark, eng.table_root) == oracle_view(spark, feed)
+
+
+def test_recovered_primary_is_revived_and_reselected(spark, tmp_path):
+    """A mirror marked DOWN after a read error must be re-probed and revived
+    once it is reachable AND ahead of the applied watermark (reference
+    PipeServiceInstance health-checks dead services back to UP) — a recovered
+    primary earlier in the follow chain is re-selected instead of being dead
+    forever. Also pins the revisited sub-engine's replay-floor refresh."""
+    feed, partial, full = build_mirrors(spark, tmp_path)
+    hidden = full + ".hidden"
+    os.rename(full, hidden)  # primary dead at start
+    eng = IngestEngine(
+        spark, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), n_buckets=8, merge_mode="mor"
+    )
+    services = ServiceList([full, partial])
+    rounds1 = eng.run_with_failover(services, max_rounds=8)
+    assert rounds1[0]["event"] == "error->down"
+    assert services.following() == [partial]  # primary down, fallback carried us
+    hw_after_partial = eng.high_watermark()
+    assert hw_after_partial > 0
+
+    os.rename(hidden, full)  # primary recovers, holding data beyond our watermark
+    rounds2 = eng.run_with_failover(services, max_rounds=8)
+    assert rounds2[0]["url"] == full  # revived and re-selected first in the chain
+    assert full in services.following()
+    # the cached sub-engine (created before the failed first read) had a stale
+    # replay floor; the revisit must lift it to the applied watermark
+    assert eng._mirror_engines[full].min_lsn >= hw_after_partial
+    assert view(spark, eng.table_root) == oracle_view(spark, feed)

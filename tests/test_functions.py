@@ -460,3 +460,35 @@ def test_decode_real_summary_matches_source(spark):
             assert r["rate"] == 16000 and r["duration_ms"] == len(b) * 1000 // 16000
         else:
             assert r["rate"] == 255 and r["duration_ms"] == 1
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_ann_lsh_oracle_sign_margin(sf):
+    """Environment guard for the ann_neardup_lsh oracle's byte-exact claim:
+    Spark buckets via numpy matmul (SIMD/pairwise summation), DuckDB via a
+    sequential list_reduce fold — float summation ORDER differs, so the two
+    agree on sign(dot) only when no projection sits near zero. Assert a wide
+    margin on the fixed corpora; if this ever fails, the oracle mismatch is an
+    ENVIRONMENT/corpus issue (a projection at the sign boundary), not an
+    engine bug. Reassociation error on a 64-dim O(1) dot is ~1e-14; the
+    measured corpus minima are 2.3e-7 (sf0.001) / 1.8e-4 (sf0.01), so 1e-9
+    is a conservative tripwire with 5 orders of margin on both sides."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_spark.functions.similarity import lsh_hyperplanes
+
+    path = f"/root/testdata/sf{sf}/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"no test data at {path}")
+    emb = np.array(pq.read_table(path).column("embedding").to_pylist(), dtype=np.float64)
+    H = lsh_hyperplanes(emb.shape[1], 8, 4, seed=42)  # ANN_NBITS=8, ANN_TABLES=4
+    dots = emb @ H.reshape(-1, emb.shape[1]).T  # (n_vecs, tables*bits)
+    margin = float(np.abs(dots).min())
+    assert margin > 1e-9, (
+        f"|dot| margin {margin:.2e} at sf{sf} is inside the float-reassociation "
+        "band — the DuckDB twin's sign(dot) may disagree with numpy; regenerate "
+        "the corpus or change the seed"
+    )

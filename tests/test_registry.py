@@ -90,3 +90,65 @@ def test_mark_and_remove_offline_thresholds():
     assert {n.host: n.status for n in g.nodes} == {
         "h0": Status.OK, "h1": Status.OFFLINE,
     }
+
+
+# ---------------------------------------------------------------- persistence
+def test_persistent_registry_survives_restart(tmp_path):
+    """register -> restart (fresh object over the same root) -> tree and
+    follow chains identical (PostgresNodeGroup persistence semantics)."""
+    from aqueduct_core_spark.registry import PersistentNodeRegistry, RegistryNode
+
+    root = str(tmp_path / "reg")
+    reg = PersistentNodeRegistry(root, cloud_url="cloud://feed")
+    for i in range(5):
+        reg.register("uk", RegistryNode(host=f"h{i}", local_url=f"url{i}", last_seen=100.0 + i))
+    reg.register("ie", RegistryNode(host="x", local_url="urlx", last_seen=50.0))
+    reg.sort_nodes("uk")
+    chains = {f"h{i}": reg.follow_chain("uk", f"h{i}") for i in range(5)}
+    v = reg.version()
+
+    reborn = PersistentNodeRegistry(root, cloud_url="cloud://feed")  # driver restart
+    assert reborn.version() == v
+    assert reborn.groups() == ["ie", "uk"]
+    assert [n.host for n in reborn.get_group("uk").nodes] == [
+        n.host for n in reg.get_group("uk").nodes
+    ]
+    for i in range(5):
+        assert reborn.follow_chain("uk", f"h{i}") == chains[f"h{i}"]
+    # root follows the cloud; a leaf's chain ends at the cloud
+    assert chains[reborn.get_group("uk").nodes[0].host] == ["cloud://feed"]
+    assert chains["h4"][-1] == "cloud://feed"
+
+    # mutations on the reborn object keep versioning monotonic
+    reborn.remove("uk", "h4")
+    assert reborn.version() == v + 1
+    assert len(reborn.get_group("uk").nodes) == 4
+
+
+def test_persistent_registry_version_conflict_retries(tmp_path):
+    """A concurrent writer stealing the next version forces the loser to
+    re-read and re-apply its mutation (the reference's optimistic CAS retry,
+    PostgreSQLNodeRegistry.java:57-85)."""
+    from aqueduct_core_spark.registry import PersistentNodeRegistry, RegistryNode
+
+    root = str(tmp_path / "reg")
+    a = PersistentNodeRegistry(root, cloud_url="c://")
+    b = PersistentNodeRegistry(root, cloud_url="c://")
+    a.register("g", RegistryNode(host="a0", local_url="u0", last_seen=1.0))
+
+    calls = {"n": 0}
+    orig_commit = a._try_commit
+
+    def racing_commit(version, groups):
+        # first attempt: b sneaks in and takes this version -> CAS must fail
+        if calls["n"] == 0:
+            calls["n"] += 1
+            b.register("g", RegistryNode(host="b0", local_url="u1", last_seen=2.0))
+        return orig_commit(version, groups)
+
+    a._try_commit = racing_commit
+    a.register("g", RegistryNode(host="a1", local_url="u2", last_seen=3.0))
+    hosts = [n.host for n in a.get_group("g").nodes]
+    # both writers' nodes survive; the loser re-applied after re-reading
+    assert hosts == ["a0", "b0", "a1"]
+    assert a.version() == 3
