@@ -100,6 +100,70 @@ def _range_chunk_bounds(df: DataFrame, order_col: str, n_chunks: int, sample_siz
     return bounds
 
 
+def _chunk_expr(order_col: str, bounds: list):
+    """chunk = number of bounds <= key (monotone in order_col, so chunk ranges
+    are contiguous and chunk-local order + offsets reproduce the global order)."""
+    chunk = F.lit(0)
+    for b in bounds:
+        chunk = chunk + F.when(F.col(order_col) >= F.lit(b), 1).otherwise(0)
+    return chunk
+
+
+def _refined_bounds(
+    df: DataFrame,
+    order_col: str,
+    n_chunks: int,
+    cap_factor: float = 4.0,
+    max_refine_rounds: int = 2,
+):
+    """Chunk bounds with a heavy-hitter guard. The sampled bounds can land one
+    chunk with the bulk of the corpus (a hot order_col value owning a large
+    row share collapses its surrounding sample cut points); the chunk window
+    would then serialize it. Guard: cap rows per chunk at cap_factor x
+    corpus/n_chunks; any over-cap chunk is re-split by re-sampling WITHIN its
+    bound range. A chunk holding a single distinct key cannot be range-split
+    (chunk must stay a monotone function of the key) — refinement isolates
+    such a key into its own chunk, which is the floor for a range planner.
+
+    Returns (bounds, stats) where stats[chunk] = (token_total, row_count) for
+    the FINAL bounds — computed in the same aggregate the refinement used, so
+    the common (balanced) case costs exactly one scan."""
+    import math
+
+    bounds = _range_chunk_bounds(df, order_col, n_chunks)
+    if not bounds:
+        return [], {}
+    stats: dict = {}
+    for round_ in range(max_refine_rounds + 1):
+        chunked = df.withColumn("_chunk", _chunk_expr(order_col, bounds))
+        stats = {
+            r["_chunk"]: (r["_tot"], r["_n"])
+            for r in chunked.groupBy("_chunk")
+            .agg(F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        n_rows = sum(n for _, n in stats.values())
+        cap = max(1.0, cap_factor * n_rows / n_chunks)
+        over = [c for c, (_, n) in stats.items() if n > cap]
+        if not over or round_ == max_refine_rounds:
+            break
+        new_bounds = set(bounds)
+        for c in over:
+            lo = bounds[c - 1] if c > 0 else None
+            hi = bounds[c] if c < len(bounds) else None
+            sub = df
+            if lo is not None:
+                sub = sub.filter(F.col(order_col) >= F.lit(lo))
+            if hi is not None:
+                sub = sub.filter(F.col(order_col) < F.lit(hi))
+            splits = int(math.ceil(stats[c][1] / cap)) + 1
+            new_bounds.update(_range_chunk_bounds(sub, order_col, splits))
+        if new_bounds == set(bounds):
+            break  # remaining over-cap chunks are single heavy keys
+        bounds = sorted(new_bounds)
+    return bounds, stats
+
+
 def plan_shards(
     df: DataFrame,
     tokens_per_shard: int,
@@ -110,7 +174,8 @@ def plan_shards(
     stable order, shard_id = floor((cumsum - n) / budget).
 
     Distributed prefix sum (no global window, no Exchange SinglePartition):
-      1. deterministic range-chunk the corpus on order_col (sampled bounds);
+      1. deterministic range-chunk the corpus on order_col (sampled bounds,
+         heavy-hitter-guarded — see _refined_bounds);
       2. per-chunk token totals — one tiny aggregate (n_chunks rows) collected
          on the driver;
       3. exclusive prefix offsets per chunk broadcast back as a literal map;
@@ -122,22 +187,12 @@ def plan_shards(
     (PostgresqlStorage.java:446-467)."""
     if n_chunks is None:
         n_chunks = df.sparkSession.sparkContext.defaultParallelism
-    bounds = _range_chunk_bounds(df, order_col, n_chunks)
+    bounds, stats = _refined_bounds(df, order_col, n_chunks)
     if not bounds:
         return plan_shards_single(df, tokens_per_shard, order_col)
-    # chunk = number of bounds <= key (monotone in order_col, so chunk ranges
-    # are contiguous and chunk-local order + offsets reproduce the global order)
-    chunk = F.lit(0)
-    for b in bounds:
-        chunk = chunk + F.when(F.col(order_col) >= F.lit(b), 1).otherwise(0)
-    chunked = df.withColumn("_chunk", chunk)
+    chunked = df.withColumn("_chunk", _chunk_expr(order_col, bounds))
 
-    totals = {
-        r["_chunk"]: r["_tot"]
-        for r in chunked.groupBy("_chunk")
-        .agg(F.sum("n_tokens").alias("_tot"))
-        .collect()
-    }
+    totals = {c: tot for c, (tot, _n) in stats.items()}
     running, offsets = 0, {}
     for c in sorted(totals):
         offsets[c] = running

@@ -112,3 +112,49 @@ def test_plan_shards_no_single_partition_exchange(spark):
     # sanity: the single-window twin DOES have it (proves the assertion bites)
     single_plan = explain_str(plan_shards_single(df, 1000), "simple")
     assert "Exchange SinglePartition" in single_plan
+
+
+def test_plan_shards_heavy_hitter_guard(spark):
+    """50% of rows on ONE order_col key: the sampled bounds would otherwise
+    lump the hot key plus wide neighbor ranges into one serializing chunk.
+    The guard re-splits over-cap chunks within their bound range; the hot key
+    itself ends up isolated (a single key cannot be range-split), and every
+    OTHER chunk stays under the row cap."""
+    from aqueduct_core_spark.pipeline import _refined_bounds, plan_shards, plan_shards_single
+
+    rows = [("hot", 10)] * 600 + [(f"k{i:04d}", 10) for i in range(600)]
+    df = spark.createDataFrame(rows, "conv_id string, n_tokens int")
+
+    n_chunks = 16
+    bounds, stats = _refined_bounds(df, "conv_id", n_chunks)
+    cap = 4.0 * 1200 / n_chunks  # 300 rows
+    # reconstruct chunk -> distinct-key count to identify single-key chunks
+    from aqueduct_core_spark.pipeline import _chunk_expr
+    from pyspark.sql import functions as F
+
+    per_chunk = {
+        r["_chunk"]: (r["n"], r["keys"])
+        for r in df.withColumn("_chunk", _chunk_expr("conv_id", bounds))
+        .groupBy("_chunk")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("conv_id").alias("keys"))
+        .collect()
+    }
+    assert any(n > cap and keys == 1 for n, keys in per_chunk.values()), (
+        "hot key should be isolated into its own chunk"
+    )
+    assert all(n <= cap for n, keys in per_chunk.values() if keys > 1), (
+        f"multi-key chunks must be under the row cap: {per_chunk}"
+    )
+
+    # correctness unchanged: the shard assignment multiset equals the global-
+    # window form (hot rows all carry equal n_tokens, so the multiset is
+    # order-independent among ties)
+    out = sorted(
+        (r["conv_id"], r["n_tokens"], r["shard_id"])
+        for r in plan_shards(df, tokens_per_shard=100, n_chunks=n_chunks).collect()
+    )
+    single = sorted(
+        (r["conv_id"], r["n_tokens"], r["shard_id"])
+        for r in plan_shards_single(df, tokens_per_shard=100).collect()
+    )
+    assert out == single
