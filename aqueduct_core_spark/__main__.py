@@ -55,13 +55,20 @@ def cmd_ingest(args) -> int:
     if args.bootstrap:
         eng.bootstrap(args.bootstrap, delay_ms=args.bootstrap_delay_ms)
     if args.follow:
-        # failover tail over an ordered follow chain (registry semantics)
+        # failover tail over an ordered follow chain (registry semantics);
+        # --adaptive composes the Retry-After pacing cycle into the same loop
         from aqueduct_core_spark.registry import ServiceList
 
+        pacer = None
+        if args.adaptive:
+            from aqueduct_core_spark.pacing import AdaptivePacer
+
+            pacer = AdaptivePacer()
         rounds = eng.run_with_failover(
             ServiceList(args.follow.split(",")),
             max_rounds=args.max_rounds,
             max_files_per_trigger=args.max_files_per_trigger,
+            pacer=pacer,
         )
         print(json.dumps({"rounds": rounds, "pipe_state": eng.pipe_state()}))
         return 0

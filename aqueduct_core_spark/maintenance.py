@@ -78,6 +78,91 @@ def compact_table(
     return CompactionStats(version=nxt.version, removed_snapshots=removed)
 
 
+def compact_bucket_range(
+    table: LakeTable,
+    tombstone_retention_ts,
+    buckets: list[int],
+    writer_id: str = "maintenance",
+) -> CompactionStats:
+    """Compact ONLY the given bucket range as an independent job — the
+    cluster-scale form of the reference's hourly CompactionTask: N disjoint
+    ranges compact as N independent Spark jobs instead of one whole-table
+    rewrite (CompactionTask.java:40-47 runs the whole table because Postgres
+    is one node; a 64-bucket lake table wants 64-way maintenance parallelism).
+
+    Concurrency contract (matches the reference's single-flight semantics,
+    PostgresqlStorageIntegrationSpec.groovy:483-531 — no writer's data is ever
+    lost to a concurrent compactor): the folded input is pinned to the
+    snapshot read at entry; the commit REBASES onto the current snapshot —
+    it drops exactly the files it folded and keeps every file any concurrent
+    writer committed since, including new delta files in this same bucket
+    range (they simply remain deltas and resolve at read until the next
+    compaction pass). A lost CAS race re-rebases and retries without
+    recomputing."""
+    from aqueduct_core_spark.lake.merge import read_resolved
+
+    target = set(buckets)
+    snap0 = table.current()
+    folded = {f["path"] for f in snap0.files if f["bucket"] in target}
+    if not folded:
+        return CompactionStats(version=snap0.version, removed_snapshots=0, skipped=True)
+    df = read_resolved(table, version=snap0.version, buckets=buckets, with_bucket_col=True)
+    kept = df.filter(
+        ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
+    )
+    new_files = table.write_files(kept, snap0, kind="base")
+    while True:
+        cur = table.current()
+        files = [f for f in cur.files if f["path"] not in folded] + new_files
+        nxt = Snapshot(
+            version=cur.version + 1,
+            current_schema_id=cur.current_schema_id,
+            schemas=cur.schemas,
+            n_buckets=cur.n_buckets,
+            bucket_key=cur.bucket_key,
+            files=files,
+            txn=cur.txn,
+            properties={
+                **cur.properties,
+                f"last_compaction_b{min(target)}_{max(target)}": str(tombstone_retention_ts),
+            },
+            parent=cur.version,
+            committed_at=time.time(),
+        )
+        try:
+            table.try_commit(nxt)
+            return CompactionStats(version=nxt.version, removed_snapshots=0)
+        except CommitConflict:
+            continue  # rebase onto the new current snapshot; folded work is kept
+
+
+def compact_table_parallel(
+    table: LakeTable,
+    tombstone_retention_ts,
+    n_jobs: int = 4,
+    keep_snapshots: int | None = None,
+) -> list[CompactionStats]:
+    """Whole-table compaction as n_jobs disjoint bucket-range jobs submitted
+    concurrently (Spark schedules jobs from multiple threads; on a cluster
+    each range is an independent spark-submit). Snapshot expiry, if requested,
+    runs once at the end — it is a driver-side metadata sweep."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_buckets = table.current().n_buckets
+    n_jobs = max(1, min(n_jobs, n_buckets))
+    ranges = [list(range(i, n_buckets, n_jobs)) for i in range(n_jobs)]
+    with ThreadPoolExecutor(max_workers=n_jobs) as ex:
+        stats = list(
+            ex.map(
+                lambda r: compact_bucket_range(table, tombstone_retention_ts, r),
+                ranges,
+            )
+        )
+    if keep_snapshots is not None:
+        table.expire_snapshots(keep_last=keep_snapshots)
+    return stats
+
+
 def rewrite_small_files(table: LakeTable, target_files_per_bucket: int = 1) -> int:
     """Bin-pack small files per bucket (Iceberg rewrite_data_files analog;
     reference analog: SQLite VACUUM + WAL checkpoint, SQLiteStorage.java:266-273).

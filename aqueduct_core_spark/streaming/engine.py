@@ -485,6 +485,8 @@ class IngestEngine:
         max_rounds: int = 10,
         max_files_per_trigger: int | None = 2,
         fmt: str = "parquet",
+        pacer=None,
+        sleep_fn=None,
     ) -> list[dict]:
         """Tail the follow chain with consumer failover (reference
         PipeLoadBalancer.select:27-39 — first UP service — over the registry's
@@ -496,7 +498,16 @@ class IngestEngine:
         is visibly AHEAD of our applied watermark — the "parent stopped
         producing" case (a dead edge mirror whose own copy froze). When the
         current mirror drains clean and no fallback knows newer data, the
-        engine is up to date and returns."""
+        engine is up to date and returns.
+
+        With a `pacer` (AdaptivePacer), each drained round additionally honors
+        the reference consumer's Retry-After cycle: the measured wall/rows
+        feed the pacer and the loop sleeps its interval before the next poll —
+        adaptive pacing and failover compose in one tail loop (the production
+        CLI shape: `ingest --follow a,b --adaptive`)."""
+        import time as _t
+
+        sleep = sleep_fn if sleep_fn is not None else _t.sleep
         rounds: list[dict] = []
         for _ in range(max_rounds):
             # Re-probe DOWN mirrors and revive any that is reachable AND ahead
@@ -515,6 +526,7 @@ class IngestEngine:
                     if latest is not None and latest > hw:
                         services.mark_up(u)
             url = services.first_up()  # raises NoAccessibleService when none
+            t0 = _t.perf_counter()
             try:
                 sub = self._engine_for_mirror(url)
                 before = sub.metrics.events_seen
@@ -533,6 +545,18 @@ class IngestEngine:
             self.metrics.batches_applied += sub.metrics.batches_applied
             sub.metrics.batches_applied = 0
             rounds.append({"url": url, "rows": rows, "event": "drained"})
+            # Pace only PRODUCTIVE rounds: an empty round here is a failover
+            # decision point (stall check below; the loop RETURNS when caught
+            # up), not a poll-for-new-data wait — the reference's empty-read
+            # backoff (cap 600 s + jitter) would stall the failover check.
+            if pacer is not None and rows > 0:
+                wall_ms = (_t.perf_counter() - t0) * 1000.0
+                age = None
+                if sub.metrics.last_event_ts is not None:
+                    age = max(0.0, _t.time() - sub.metrics.last_event_ts.timestamp())
+                interval_ms = pacer.next_interval_ms(wall_ms, rows, newest_event_age_s=age)
+                rounds[-1]["interval_ms"] = interval_ms
+                sleep(interval_ms / 1000.0)
             if rows > 0:
                 continue  # keep draining the same mirror until it runs dry
             hw = self.high_watermark()

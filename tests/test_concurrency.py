@@ -104,3 +104,90 @@ def test_losing_commit_attempt_leaves_no_orphan_files(spark, tmp_table_dir):
             if fn.endswith(".parquet"):
                 on_disk.add(os.path.join(dirpath, fn))
     assert on_disk == live
+
+
+def test_compaction_races_ingest_writer_no_lost_data(spark, tmp_table_dir):
+    """Per-bucket-range compaction commits WHILE an ingest writer commits:
+    the compactor rebases onto the writer's snapshot (or vice versa) and no
+    row from either side is lost (the reference's single-flight semantics,
+    PostgresqlStorageIntegrationSpec.groovy:483-531 — here: optimistic rebase
+    instead of an advisory lock)."""
+    from datetime import datetime
+
+    from aqueduct_core_spark.maintenance import compact_bucket_range
+    from aqueduct_core_spark.oracle import replay
+
+    table = LakeTable.create(
+        spark, tmp_table_dir, TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+        n_buckets=4, properties={"merge_mode": "mor"},
+    )
+    first = [ev(i, conv=f"a{i % 7}", turn=i % 3) for i in range(1, 41)]
+    first += [ev(100 + i, "D", conv=f"a{i % 7}", turn=i % 3) for i in range(1, 8)]
+    merge_change_batch(table, events_df(spark, first), batch_id=0, writer_id="w1")
+
+    second = [ev(200 + i, conv=f"b{i % 5}", turn=i % 2) for i in range(1, 31)]
+    errs: list = []
+
+    def ingest():
+        try:
+            merge_change_batch(
+                table, events_df(spark, second), batch_id=1, writer_id="w1"
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def compact():
+        try:
+            # retention far in the future: every tombstone at/below it folds away
+            compact_bucket_range(table, datetime(2030, 1, 1), buckets=[0, 1])
+            compact_bucket_range(table, datetime(2030, 1, 1), buckets=[2, 3])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=ingest)
+    t2 = threading.Thread(target=compact)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+
+    expect = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in replay(first + second)
+    ]
+    got = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_transcripts(table).orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert got == expect
+
+
+def test_parallel_range_compaction_equals_full(spark, tmp_table_dir):
+    """compact_table_parallel (disjoint ranges, concurrent commits) leaves the
+    same live view as whole-table compact_table, folds MOR deltas into base
+    files, and drops aged tombstones."""
+    from datetime import datetime
+
+    from aqueduct_core_spark.maintenance import compact_table_parallel
+    from aqueduct_core_spark.oracle import replay
+
+    table = LakeTable.create(
+        spark, tmp_table_dir, TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+        n_buckets=8, properties={"merge_mode": "mor"},
+    )
+    events = [ev(i, conv=f"c{i % 13}", turn=i % 4) for i in range(1, 61)]
+    events += [ev(200 + i, "D", conv=f"c{i % 13}", turn=i % 4) for i in range(1, 10)]
+    for b, lo in enumerate(range(0, len(events), 23)):
+        merge_change_batch(table, events_df(spark, events[lo : lo + 23]), batch_id=b)
+    assert any(f.get("kind") == "delta" for f in table.current().files)
+
+    stats = compact_table_parallel(table, datetime(2030, 1, 1), n_jobs=4, keep_snapshots=1)
+    assert all(not s.skipped for s in stats)
+    snap = table.current()
+    assert all(f.get("kind", "base") == "base" for f in snap.files)  # deltas folded
+    raw = table.read()
+    assert raw.filter("_deleted").count() == 0  # aged tombstones dropped
+    expect = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(events)]
+    got = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_transcripts(table).orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert got == expect
