@@ -1,0 +1,89 @@
+"""Filesystem seam for every driver-side metadata/file operation.
+
+The lake's data plane is already storage-agnostic (Spark reads/writes parquet
+through Hadoop FS), but the driver-side CONTROL plane — manifest publish,
+orphan cleanup, bootstrap reset, validation — was written against the local
+filesystem. This module is the single swap point for running against an
+object store: implement the same interface over the Hadoop FileSystem API
+(`spark._jvm.org.apache.hadoop.fs.FileSystem.get(...)`) or an S3 client and
+inject it with `set_fs()`.
+
+Per-method object-store mapping (what the swap implementation does):
+  exists/isdir      -> FileSystem.exists / getFileStatus().isDirectory
+  makedirs          -> FileSystem.mkdirs (no-op on S3 — keys are flat)
+  listdir           -> FileSystem.listStatus (one LIST per call)
+  walk_files        -> FileSystem.listFiles(recursive=True)
+  remove/rmtree     -> FileSystem.delete(path, recursive)
+  read_text         -> FSDataInputStream read
+  publish_if_absent -> THE commit primitive. Local: hard-link of a fsynced
+      temp file (atomic create-if-absent, POSIX). HDFS: create(path,
+      overwrite=false). S3: conditional PUT (If-None-Match: *) or a DynamoDB
+      lock table, exactly Iceberg's S3 commit strategies. Must raise
+      FileExistsError when the destination already exists — the optimistic-
+      concurrency contract every CAS loop in this repo relies on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Iterator
+
+
+class LocalFS:
+    """POSIX implementation (the only storage present in this environment)."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                yield os.path.join(dirpath, fn)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def publish_if_absent(self, text: str, final_path: str) -> None:
+        """Atomically create final_path with `text` iff it does not exist;
+        raise FileExistsError when a concurrent writer won (the CAS loser).
+        Durable: the content is fsynced before the link becomes visible."""
+        tmp = final_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final_path)  # atomic create-if-absent
+        finally:
+            os.unlink(tmp)
+
+
+_FS = LocalFS()
+
+
+def get_fs():
+    return _FS
+
+
+def set_fs(fs) -> None:
+    """Inject an alternative implementation (Hadoop FS / S3) process-wide."""
+    global _FS
+    _FS = fs

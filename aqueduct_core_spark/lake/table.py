@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -39,6 +38,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from aqueduct_core_spark.lake.fsio import get_fs
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -120,8 +121,9 @@ class LakeTable:
         n_buckets: int = 16,
         properties: dict | None = None,
     ) -> "LakeTable":
-        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
-        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        fs = get_fs()
+        fs.makedirs(os.path.join(root, MANIFEST_DIR))
+        fs.makedirs(os.path.join(root, DATA_DIR))
         t = cls(spark, root)
         snap = Snapshot(
             version=1,
@@ -137,9 +139,10 @@ class LakeTable:
 
     @classmethod
     def exists(cls, root: str) -> bool:
+        fs = get_fs()
         d = os.path.join(root, MANIFEST_DIR)
-        return os.path.isdir(d) and any(
-            f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+        return fs.isdir(d) and any(
+            f.startswith("v") and f.endswith(".json") for f in fs.listdir(d)
         )
 
     def current(self) -> Snapshot:
@@ -149,13 +152,12 @@ class LakeTable:
         return self.snapshot_at(v)
 
     def snapshot_at(self, version: int) -> Snapshot:
-        with open(self._manifest_path(version)) as f:
-            return Snapshot.from_json(f.read())
+        return Snapshot.from_json(get_fs().read_text(self._manifest_path(version)))
 
     def versions(self) -> list[int]:
         d = os.path.join(self.root, MANIFEST_DIR)
         out = []
-        for f in os.listdir(d):
+        for f in get_fs().listdir(d):
             if f.startswith("v") and f.endswith(".json"):
                 out.append(int(f[1:-5]))
         return sorted(out)
@@ -211,22 +213,19 @@ class LakeTable:
             .parquet(out_dir)
         )
         entries: list[dict] = []
-        for dirpath, _dirnames, filenames in os.walk(out_dir):
-            base = os.path.basename(dirpath)
-            if not base.startswith(f"{BUCKET_COL}="):
+        for path in get_fs().walk_files(out_dir):
+            base = os.path.basename(os.path.dirname(path))
+            if not base.startswith(f"{BUCKET_COL}=") or not path.endswith(".parquet"):
                 continue
-            b = int(base.split("=", 1)[1])
-            for fn in filenames:
-                if fn.endswith(".parquet"):
-                    entries.append(
-                        {
-                            "path": os.path.join(dirpath, fn),
-                            "bucket": b,
-                            "schema_id": snap.current_schema_id,
-                            "rows": None,
-                            "kind": kind,  # base | delta (merge-on-read)
-                        }
-                    )
+            entries.append(
+                {
+                    "path": path,
+                    "bucket": int(base.split("=", 1)[1]),
+                    "schema_id": snap.current_schema_id,
+                    "rows": None,
+                    "kind": kind,  # base | delta (merge-on-read)
+                }
+            )
         return entries
 
     def try_commit(self, snap: Snapshot) -> None:
@@ -241,8 +240,9 @@ class LakeTable:
         it, so expire_snapshots can never reclaim it — without this, writer
         contention leaks orphan files without bound."""
         dirs = {os.path.dirname(os.path.dirname(e["path"])) for e in entries}
+        fs = get_fs()
         for d in dirs:
-            shutil.rmtree(d, ignore_errors=True)
+            fs.rmtree(d)
 
     # ---------------------------------------------------------------- evolution
     def evolve_schema(self, new_schema: StructType) -> Snapshot:
@@ -288,20 +288,21 @@ class LakeTable:
         live: set[str] = set()
         for v in keep:
             live.update(f["path"] for f in self.snapshot_at(v).files)
+        fs = get_fs()
         removed = 0
         for v in versions:
             if v not in keep:
                 for f in self.snapshot_at(v).files:
-                    if f["path"] not in live and os.path.exists(f["path"]):
-                        os.remove(f["path"])
+                    if f["path"] not in live and fs.exists(f["path"]):
+                        fs.remove(f["path"])
                         removed += 1
-                os.remove(self._manifest_path(v))
+                fs.remove(self._manifest_path(v))
         # sweep empty commit dirs
         data_root = os.path.join(self.root, DATA_DIR)
-        for d in os.listdir(data_root):
+        for d in fs.listdir(data_root):
             p = os.path.join(data_root, d)
-            if os.path.isdir(p) and not any(files for _, _, files in os.walk(p)):
-                shutil.rmtree(p)
+            if fs.isdir(p) and not any(True for _ in fs.walk_files(p)):
+                fs.rmtree(p)
         return removed
 
     # ---------------------------------------------------------------- internals
@@ -313,18 +314,12 @@ class LakeTable:
         return vs[-1] if vs else None
 
     def _write_manifest(self, snap: Snapshot) -> None:
-        final = self._manifest_path(snap.version)
-        tmp = final + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(snap.to_json())
-            f.flush()
-            os.fsync(f.fileno())
+        # publish_if_absent is THE storage commit primitive (see lake/fsio.py
+        # for the HDFS create(overwrite=false) / S3 conditional-PUT mapping)
         try:
-            os.link(tmp, final)  # atomic create-if-absent => optimistic concurrency
+            get_fs().publish_if_absent(snap.to_json(), self._manifest_path(snap.version))
         except FileExistsError as e:
             raise CommitConflict(f"version {snap.version} already committed") from e
-        finally:
-            os.unlink(tmp)
 
 
 def _align(df: DataFrame, written: StructType, target: StructType) -> DataFrame:

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from dataclasses import asdict, dataclass, field, replace
 from enum import IntEnum
 
@@ -141,9 +140,12 @@ class PersistentNodeRegistry:
     """
 
     def __init__(self, root: str, cloud_url: str):
+        from aqueduct_core_spark.lake.fsio import get_fs
+
         self.root = root
         self.cloud_url = cloud_url
-        os.makedirs(root, exist_ok=True)
+        self._fs = get_fs()
+        self._fs.makedirs(root)
 
     # ------------------------------------------------------------ state io
     def _path(self, version: int) -> str:
@@ -152,7 +154,7 @@ class PersistentNodeRegistry:
     def _versions(self) -> list[int]:
         return sorted(
             int(f[1:-5])
-            for f in os.listdir(self.root)
+            for f in self._fs.listdir(self.root)
             if f.startswith("v") and f.endswith(".json") and ".tmp." not in f
         )
 
@@ -164,8 +166,7 @@ class PersistentNodeRegistry:
         v = self.version()
         if v == 0:
             return 0, {}
-        with open(self._path(v)) as f:
-            doc = json.load(f)
+        doc = json.loads(self._fs.read_text(self._path(v)))
         groups: dict[str, NodeGroup] = {}
         for name, g in doc["groups"].items():
             ng = NodeGroup(g["cloud_url"])
@@ -192,19 +193,12 @@ class PersistentNodeRegistry:
                 for name, g in groups.items()
             },
         }
-        final = self._path(version)
-        tmp = final + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, final)  # atomic create-if-absent => optimistic CAS
+            # same storage commit primitive as the lake manifest (fsio seam)
+            self._fs.publish_if_absent(json.dumps(doc), self._path(version))
             return True
         except FileExistsError:
             return False  # concurrent writer won this version — caller retries
-        finally:
-            os.unlink(tmp)
 
     def _mutate(self, group: str, fn):
         """Read-modify-CAS loop: `fn(node_group)` is re-applied from a fresh

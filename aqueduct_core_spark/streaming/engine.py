@@ -138,8 +138,9 @@ class IngestEngine:
         * CORRUPTION_RECOVERY      — full reset including any partial
           manifest state (the corruptionManager.reset() analog).
         """
-        import shutil
         import time as _t
+
+        from aqueduct_core_spark.lake.fsio import get_fs
 
         sleep = sleep_fn if sleep_fn is not None else _t.sleep
         bt = bootstrap_type.upper()
@@ -164,10 +165,11 @@ class IngestEngine:
         }
         reset_pipe = bt != "PROVIDER"
 
+        # storage-agnostic resets (lake/fsio.py is the object-store seam)
         if reset_provider:
-            shutil.rmtree(self.table_root, ignore_errors=True)
+            get_fs().rmtree(self.table_root)
         if reset_pipe:
-            shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
+            get_fs().rmtree(self.checkpoint_dir)
             if not reset_provider and LakeTable.exists(self.table_root):
                 # pipe-only reset: a fresh streaming query restarts batch ids
                 # at 0 under the SAME writer id (it is scoped to the
@@ -213,14 +215,15 @@ class IngestEngine:
         """Manifest integrity check: the current manifest parses, its schema
         loads, and every listed data file exists (the engine's PRAGMA
         integrity_check analog)."""
-        import os
+        from aqueduct_core_spark.lake.fsio import get_fs
 
         try:
             snap = LakeTable(self.spark, self.table_root).current()
             snap.schema()
         except Exception:
             return False
-        return all(os.path.exists(f["path"]) for f in snap.files)
+        fs = get_fs()
+        return all(fs.exists(f["path"]) for f in snap.files)
 
     def auto_bootstrap_if_corrupt(self) -> bool:
         """Corruption-triggered bootstrap: a failed integrity check triggers

@@ -98,11 +98,14 @@ HEADLINE = [
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    """Times the headline set; AQ_BENCH_ALL=1 times EVERY queries() entry
+    (the full-suite mode used for the sf1 scaling table in BENCH.md)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    names = list(qs) if os.environ.get("AQ_BENCH_ALL") == "1" else HEADLINE
     out = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

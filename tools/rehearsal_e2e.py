@@ -96,11 +96,18 @@ def main() -> int:
         ]
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        # what spark-submit's --master/--driver-memory flags provide on a
+        # cluster; the CLI itself deliberately sets neither (it inherits the
+        # submit environment)
+        env["PYSPARK_SUBMIT_ARGS"] = (
+            f"--master local[{cpus}] --driver-memory "
+            f"{os.environ.get('AQ_BENCH_DRIVER_MEM', '24g')} pyspark-shell"
+        )
         t0 = time.perf_counter()
         proc = subprocess.run(cli, env=env, cwd=REPO, capture_output=True, text=True, timeout=3600)
         wall = round(time.perf_counter() - t0, 3)
         if proc.returncode != 0:
-            print(json.dumps({"ok": False, "stage": "cli", "stderr": proc.stderr[-2000:]}))
+            print(json.dumps({"ok": False, "stage": "cli", "stderr": proc.stderr[-6000:]}))
             return 1
         cli_out = json.loads(
             [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
