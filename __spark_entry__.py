@@ -416,13 +416,21 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs with GUARANTEED recall: 8 bands over 64 bits >
     max_hamming 6, so pigeonhole makes the banded join lossless — the output
     is exactly the all-pairs hamming <= 6 set, which the oracle twin computes
-    from the identical md5-derived simhash words."""
+    from the identical md5-derived simhash words. fat_bucket_cap is the
+    exactness-preserving scale guard: over-common band buckets are joined on
+    a second matching band (every hamming<=6 pair shares >= 2 of 8 bands), so
+    in-bucket work stays subquadratic without changing the output (measured
+    at sf1: 147 s -> see BENCH.md)."""
     _conf(spark)
     from aqueduct_core_spark.functions.dedup import simhash_near_pairs_words, simhash_words
 
     docs = _t("documents")(spark, sf_dir)
     return simhash_near_pairs_words(
-        simhash_words(docs), max_hamming=SIMHASH_HAMMING, bands=8, max_bucket_size=None
+        simhash_words(docs),
+        max_hamming=SIMHASH_HAMMING,
+        bands=8,
+        max_bucket_size=None,
+        fat_bucket_cap=64,
     )
 
 

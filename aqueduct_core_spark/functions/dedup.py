@@ -375,17 +375,36 @@ def simhash_near_pairs_words(
     max_hamming: int = 6,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    fat_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs over (sim_hi, sim_lo) SimHash words with a recall
     GUARANTEE: bands > max_hamming means any pair within the hamming budget
     has fewer differing bits than bands, so some band is identical in both
     (pigeonhole) — the output is EXACTLY the set of pairs with hamming <=
     max_hamming (modulo an optional over-common-bucket guard; pass None to
-    keep the guarantee unconditional). Output (id_a, id_b, hamming)."""
+    keep the guarantee unconditional). Output (id_a, id_b, hamming).
+
+    fat_bucket_cap is the EXACTNESS-PRESERVING scale guard (unlike
+    max_bucket_size, which drops buckets and loses pairs). The band-chunk
+    space is only 2^(64/bands) values, so in-bucket pairs grow quadratically
+    with corpus size (measured: 10x docs -> 25x wall at sf1). Buckets larger
+    than the cap are instead joined on a SECOND matching band: with 8 bands
+    and <= max_hamming=6 differing bits, at most 6 bands can differ, so every
+    qualifying pair shares at least TWO bands (pigeonhole again) — joining
+    fat-bucket members on (band, chunk, second_band, second_chunk) subdivides
+    each fat bucket ~2^width-fold and misses nothing. (Beyond ~10^9 docs the
+    second level goes fat too; the budget 8 bands / hamming 6 guarantees only
+    two matches, so deeper subdivision needs a lossy cap or more bands.)"""
     if bands <= max_hamming and max_bucket_size is None:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} loses the pigeonhole "
             "recall guarantee"
+        )
+    if fat_bucket_cap is not None and bands < max_hamming + 2:
+        raise ValueError(
+            f"fat-bucket recursion needs bands >= max_hamming + 2 "
+            f"(two guaranteed matching bands); got bands={bands}, "
+            f"max_hamming={max_hamming}"
         )
     assert 64 % bands == 0
     width = 64 // bands
@@ -419,24 +438,69 @@ def simhash_near_pairs_words(
             .select("band", "chunk")
         )
         chunks = cached.join(ok, ["band", "chunk"], "left_semi")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+
+    def pair_cols(a, b):
+        return [
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.sim_hi").alias("_hi_a"),
             F.col("a.sim_lo").alias("_lo_a"),
             F.col("b.sim_hi").alias("_hi_b"),
             F.col("b.sim_lo").alias("_lo_b"),
+        ]
+
+    if fat_bucket_cap is not None:
+        counts = cached.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("_n"))
+        fat_keys = counts.filter(F.col("_n") > fat_bucket_cap).select("band", "chunk")
+        thin = chunks.join(fat_keys, ["band", "chunk"], "left_anti")
+        fat = chunks.join(fat_keys, ["band", "chunk"], "left_semi")
+        a, b = thin.alias("a"), thin.alias("b")
+        thin_pairs = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(*pair_cols(a, b))
+        # fat path: subdivide by a second band's chunk (recomputed from the
+        # words — the bands partition the 64 bits, so "the other bands" ARE
+        # the sub-bands of the remaining bits)
+        fat2 = fat.select(
+            "id",
+            "sim_hi",
+            "sim_lo",
+            "band",
+            "chunk",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(j).alias("band2"), chunk(j).alias("chunk2"))
+                    for j in range(bands)
+                ])
+            ).alias("sb"),
+        ).filter(F.col("sb.band2") != F.col("band")).select(
+            "id", "sim_hi", "sim_lo", "band", "chunk", "sb.band2", "sb.chunk2"
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        fa, fb = fat2.alias("a"), fat2.alias("b")
+        fat_pairs = fa.join(
+            fb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.band2") == F.col("b.band2"))
+            & (F.col("a.chunk2") == F.col("b.chunk2"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(*pair_cols(fa, fb))
+        cand = thin_pairs.unionByName(fat_pairs).dropDuplicates(["id_a", "id_b"])
+    else:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(*pair_cols(a, b))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     out = (
         cand.withColumn(
             "hamming",

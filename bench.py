@@ -104,6 +104,8 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
 
     qs = entry.queries()
     names = list(qs) if os.environ.get("AQ_BENCH_ALL") == "1" else HEADLINE
+    skip = set(filter(None, os.environ.get("AQ_BENCH_SKIP", "").split(",")))
+    names = [n for n in names if n not in skip]
     out = {}
     for name in names:
         fn = qs[name]

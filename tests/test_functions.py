@@ -492,3 +492,35 @@ def test_ann_lsh_oracle_sign_margin(sf):
         "band — the DuckDB twin's sign(dot) may disagree with numpy; regenerate "
         "the corpus or change the seed"
     )
+
+
+def test_simhash_fat_bucket_recursion_exact(spark, docs):
+    """fat_bucket_cap must not change the output: with the cap forced to 0
+    (every bucket takes the second-band path) the result still equals the
+    all-pairs hamming filter — every hamming<=6 pair shares >= 2 of 8 bands."""
+    from itertools import combinations
+
+    from aqueduct_core_spark.functions.dedup import simhash_near_pairs_words, simhash_words
+
+    sim = simhash_words(docs.filter("text != ''"))
+    vals = {r["id"]: (r["sim_hi"], r["sim_lo"]) for r in sim.collect()}
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    for cap in (0, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_pairs_words(
+                sim, max_hamming=6, bands=8, fat_bucket_cap=cap
+            ).collect()
+        }
+        expect = {
+            (a, b): ham(vals[a], vals[b])
+            for a, b in combinations(sorted(vals), 2)
+            if ham(vals[a], vals[b]) <= 6
+        }
+        assert got == expect, f"cap={cap}"
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs_words(sim, max_hamming=7, bands=8, fat_bucket_cap=8)
