@@ -59,3 +59,48 @@ def test_any_log_any_batching_equals_oracle(spark, tmp_path_factory, case, mode)
     ]
     want = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(events)]
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_logs(), st.data())
+def test_mid_stream_range_compaction_preserves_oracle(spark, tmp_path_factory, case, data):
+    """Folding deltas per bucket range at ANY point between batches (the
+    parallel-maintenance path) must never change the resolved view: after
+    every chunk a hypothesis-drawn bucket subset is compacted with a
+    retention below all event times (fold-only — tombstones younger than
+    retention are late-data-protected), then a final full compaction with
+    future retention purges them; the table must equal the oracle throughout."""
+    from datetime import datetime
+
+    from aqueduct_core_spark.maintenance import compact_bucket_range, compact_table
+
+    events, cuts = case
+    d = str(tmp_path_factory.mktemp("propc"))
+    table = LakeTable.create(
+        spark, d, TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+        n_buckets=4, properties={"merge_mode": "mor"},
+    )
+    bounds = [0] + [c for c in cuts if c < len(events)] + [len(events)]
+    for i in range(len(bounds) - 1):
+        chunk = events[bounds[i] : bounds[i + 1]]
+        if chunk:
+            merge_change_batch(table, events_df(spark, chunk), batch_id=i)
+        if data.draw(st.booleans(), label=f"compact_after_{i}"):
+            buckets = sorted(
+                data.draw(
+                    st.sets(st.integers(0, 3), min_size=1, max_size=4),
+                    label=f"buckets_{i}",
+                )
+            )
+            compact_bucket_range(table, datetime(1970, 1, 1), buckets=buckets)
+
+    def view():
+        return [
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in read_transcripts(table).orderBy("conv_id", "turn_idx").collect()
+        ]
+
+    want = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(events)]
+    assert view() == want
+    compact_table(table, datetime(2030, 1, 1), keep_snapshots=1)  # purge aged tombstones
+    assert view() == want
