@@ -61,6 +61,35 @@ class LocalFS:
         with open(path) as f:
             return f.read()
 
+    def parquet_footer(self, path: str) -> dict:
+        """Read a parquet file's FOOTER only (no data pages): row count plus
+        per-column (min, max) where the writer recorded statistics. Local:
+        pyarrow on the path. Object store: pyarrow.fs / one ranged GET of the
+        footer — the same O(1)-per-file cost Iceberg pays to build manifests.
+        Columns without usable stats map to None."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        cols: dict = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    cols[name] = None
+                    continue
+                prev = cols.get(name)
+                if prev is None and name in cols:
+                    continue  # an earlier row group lacked stats -> unusable
+                lo, hi = (st.min, st.max) if prev is None else (
+                    min(prev[0], st.min),
+                    max(prev[1], st.max),
+                )
+                cols[name] = (lo, hi)
+        return {"rows": md.num_rows, "columns": cols}
+
     def publish_if_absent(self, text: str, final_path: str) -> None:
         """Atomically create final_path with `text` iff it does not exist;
         raise FileExistsError when a concurrent writer won (the CAS loser).

@@ -283,12 +283,83 @@ def resolve_lww(df: DataFrame) -> DataFrame:
 
 
 def read_resolved(
-    table: LakeTable, version: int | None = None, buckets=None, with_bucket_col: bool = False
+    table: LakeTable,
+    version: int | None = None,
+    buckets=None,
+    with_bucket_col: bool = False,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """Snapshot read with MOR resolution: raw rows if the snapshot holds only
     base files (COW — already resolved at write), else resolve_lww over
-    base ∪ delta."""
+    base ∪ delta.
+
+    `ranges` ({col: (lo, hi)}, either bound None) filters the RESOLVED view —
+    the row filter is always applied AFTER LWW resolution, so semantics are
+    identical across modes. On a fully-resolved snapshot (COW, or MOR after
+    compaction folded every delta) the same ranges additionally drive
+    manifest-stats FILE SKIPPING, so a time/offset-windowed read opens only
+    the files that can contain matches. With live delta files file skipping is
+    deliberately disabled: dropping an old file by stats could discard the
+    (ts,_lsn) winner that suppresses a newer losing row and resurrect it
+    (tests/test_lake_stats.py pins this scenario)."""
     snap = table.current() if version is None else table.snapshot_at(version)
-    df = table.read(buckets=buckets, version=version, with_bucket_col=with_bucket_col)
     has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
-    return resolve_lww(df) if has_delta else df
+    df = table.read(
+        buckets=buckets,
+        version=version,
+        with_bucket_col=with_bucket_col,
+        prune_ranges=None if has_delta else ranges,
+    )
+    out = resolve_lww(df) if has_delta else df
+    if ranges:
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                out = out.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(col) <= F.lit(hi))
+    return out
+
+
+def read_changes(
+    table: LakeTable, since_version: int, until_version: int | None = None
+) -> DataFrame:
+    """Incremental changelog read: every row appended by merge commits in
+    (since_version, until_version] — the lake-native form of the reference's
+    offset-paged pipe read (`GET /pipe/{offset}`, SQLiteQueries.java offset
+    pages): a downstream consumer remembers the snapshot version it has
+    processed and tails the table without ever rescanning it.
+
+    Exact on merge-on-read tables because every merge commit appends its
+    (intra-batch LWW-resolved) rows as immutable delta files: the changelog is
+    the union of delta files first referenced by each version in the interval
+    — walked version-by-version so deltas that a LATER compaction already
+    folded into base files are still captured. Delete events appear as
+    `_deleted` tombstone rows, exactly like the pipe's `data IS NULL` messages.
+
+    COW tables rewrite whole buckets per commit (no per-commit row identity),
+    so the changelog is undefined there — raises ValueError. Also raises when
+    a manifest inside the interval was expired (`expire_snapshots`): retention
+    bounds how far back a consumer may resume, same as the reference's
+    compacted-away offsets."""
+    cur = table.current()
+    until_version = cur.version if until_version is None else until_version
+    if cur.properties.get("merge_mode", "cow") != "mor":
+        raise ValueError("read_changes requires a merge-on-read table (merge_mode=mor)")
+    if not since_version <= until_version:
+        raise ValueError(f"empty interval ({since_version}, {until_version}]")
+    have = set(table.versions())
+    need = set(range(since_version, until_version + 1))
+    if not need <= have:
+        raise ValueError(
+            f"manifests {sorted(need - have)} expired — consumer fell behind "
+            "snapshot retention; bootstrap from a full snapshot read instead"
+        )
+    seen = {f["path"] for f in table.snapshot_at(since_version).files}
+    added: list[dict] = []
+    for v in range(since_version + 1, until_version + 1):
+        snap = table.snapshot_at(v)
+        for f in snap.files:
+            if f["path"] not in seen and f.get("kind", "base") == "delta":
+                added.append(f)
+        seen |= {f["path"] for f in snap.files}
+    return table.read_entries(added, table.snapshot_at(until_version))

@@ -44,6 +44,47 @@ from aqueduct_core_spark.lake.fsio import get_fs
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 BUCKET_COL = "_bucket"
+# Columns whose per-file (min, max) is recorded in the manifest at write time
+# (override per table via properties["stats_cols"]). The reference serves
+# `WHERE msg_offset > ?` from a B-tree (SQLiteQueries.java offset index); at
+# lake scale the analog is skipping whole files by footer stats — Iceberg's
+# lower_bounds/upper_bounds.
+DEFAULT_STATS_COLS = ["_lsn", "ts"]
+
+
+def _stat_scalar(v):
+    """Normalize a stats value (or a caller's prune bound) to a JSON-safe,
+    order-preserving scalar: ints/floats pass through, datetimes become epoch
+    microseconds (naive = UTC). Unsupported types -> None (no pruning)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return None
+
+
+def _file_may_match(entry: dict, prune_ranges: dict) -> bool:
+    """True unless the file's manifest stats PROVE every requested range is
+    unsatisfiable. Files without stats (older manifests, stat-less writers)
+    are always kept — pruning is an optimization, never a filter."""
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in prune_ranges.items():
+        s = stats.get(col)
+        if not s:
+            continue
+        f_lo, f_hi = s
+        lo_n, hi_n = _stat_scalar(lo), _stat_scalar(hi)
+        if lo_n is not None and f_hi < lo_n:
+            return False
+        if hi_n is not None and f_lo > hi_n:
+            return False
+    return True
 
 
 def bucket_expr(col_name: str, n_buckets: int):
@@ -168,34 +209,52 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         version: int | None = None,
         with_bucket_col: bool = False,
+        prune_ranges: dict | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally pruned to a bucket set (manifest-level pruning:
-        files in other buckets are never listed, opened, or scheduled)."""
+        files in other buckets are never listed, opened, or scheduled).
+
+        `prune_ranges` ({col: (lo, hi)}, either bound None for open) additionally
+        skips files whose manifest stats prove no row can satisfy lo <= col <= hi.
+        This is a PHYSICAL file skip over raw stored rows: on a merge-on-read
+        snapshot with delta files it is NOT equivalent to filtering the
+        LWW-resolved view (an old file may hold the (ts,_lsn) winner that
+        suppresses a newer losing row — dropping it would resurrect the loser).
+        Use `merge.read_resolved(..., ranges=...)`, which applies the skip only
+        when the snapshot is fully resolved, for resolved-view semantics."""
         snap = self.current() if version is None else self.snapshot_at(version)
         target_schema = snap.schema()
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-
-        if not files:
-            df = self.spark.createDataFrame([], target_schema)
-        else:
-            # Group by written schema so each parquet read uses its exact file schema,
-            # then align to the current schema (add-column -> NULL, widen -> cast).
-            by_schema: dict[int, list[str]] = {}
-            for f in files:
-                by_schema.setdefault(f["schema_id"], []).append(f["path"])
-            parts = []
-            for schema_id, paths in by_schema.items():
-                written = snap.schema_by_id(schema_id)
-                part = self.spark.read.schema(written).parquet(*paths)
-                parts.append(_align(part, written, target_schema))
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
+        if prune_ranges:
+            files = [f for f in files if _file_may_match(f, prune_ranges)]
+        df = self.read_entries(files, snap)
         if with_bucket_col:
             df = df.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))
+        return df
+
+    def read_entries(self, files: list[dict], snap: Snapshot) -> DataFrame:
+        """Read an explicit manifest-entry list (schema-aligned to `snap`'s
+        current schema). Building block for snapshot reads and incremental
+        changelog reads."""
+        target_schema = snap.schema()
+        if not files:
+            return self.spark.createDataFrame([], target_schema)
+        # Group by written schema so each parquet read uses its exact file schema,
+        # then align to the current schema (add-column -> NULL, widen -> cast).
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(f["path"])
+        parts = []
+        for schema_id, paths in by_schema.items():
+            written = snap.schema_by_id(schema_id)
+            part = self.spark.read.schema(written).parquet(*paths)
+            parts.append(_align(part, written, target_schema))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     # ---------------------------------------------------------------- write
@@ -206,23 +265,69 @@ class LakeTable:
         out_dir = os.path.join(self.root, DATA_DIR, commit_id)
         # one shuffle keyed by bucket so each affected bucket lands in few files
         n_out = max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism))
-        (
-            df.repartition(n_out, F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("append")
-            .parquet(out_dir)
-        )
+        # INT96 (Spark's legacy default) records no parquet min/max stats, which
+        # would blind the manifest's ts pruning; TIMESTAMP_MICROS does.
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts_type = self.spark.conf.get(ts_conf, None)
+        self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            (
+                df.repartition(n_out, F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .mode("append")
+                .parquet(out_dir)
+            )
+        finally:
+            if prev_ts_type is None:
+                self.spark.conf.unset(ts_conf)
+            else:
+                self.spark.conf.set(ts_conf, prev_ts_type)
+        stats_cols = snap.properties.get("stats_cols", DEFAULT_STATS_COLS)
+        field_names = {f.name for f in snap.schema().fields}
+        stats_cols = [c for c in stats_cols if c in field_names]
+
+        def harvest(path: str) -> tuple:
+            # Footer-only read (O(1) per file — one ranged GET on an object
+            # store): row count + min/max for the stats columns. Best-effort:
+            # a stat-less footer degrades to rows/stats = None.
+            try:
+                footer = get_fs().parquet_footer(path)
+            except Exception:
+                return None, None
+            stats = {}
+            for c in stats_cols:
+                mm = footer["columns"].get(c)
+                if mm is None:
+                    continue
+                lo, hi = _stat_scalar(mm[0]), _stat_scalar(mm[1])
+                if lo is not None and hi is not None:
+                    stats[c] = [lo, hi]
+            return footer["rows"], stats or None
+
+        paths = [
+            p
+            for p in get_fs().walk_files(out_dir)
+            if os.path.basename(os.path.dirname(p)).startswith(f"{BUCKET_COL}=")
+            and p.endswith(".parquet")
+        ]
+        # IO-bound and per-file independent: harvest concurrently so a
+        # thousand-file commit costs one footer round-trip, not a thousand.
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(paths) > 1:
+            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+                harvested = list(ex.map(harvest, paths))
+        else:
+            harvested = [harvest(p) for p in paths]
         entries: list[dict] = []
-        for path in get_fs().walk_files(out_dir):
-            base = os.path.basename(os.path.dirname(path))
-            if not base.startswith(f"{BUCKET_COL}=") or not path.endswith(".parquet"):
-                continue
+        for path, (rows, stats) in zip(paths, harvested):
             entries.append(
                 {
                     "path": path,
-                    "bucket": int(base.split("=", 1)[1]),
+                    "bucket": int(os.path.basename(os.path.dirname(path)).split("=", 1)[1]),
                     "schema_id": snap.current_schema_id,
-                    "rows": None,
+                    "rows": rows,
+                    "stats": stats,
                     "kind": kind,  # base | delta (merge-on-read)
                 }
             )

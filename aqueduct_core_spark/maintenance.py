@@ -136,6 +136,25 @@ def compact_bucket_range(
             continue  # rebase onto the new current snapshot; folded work is kept
 
 
+def balance_bucket_ranges(
+    rows_by_bucket: dict[int, int], n_buckets: int, n_jobs: int
+) -> list[list[int]]:
+    """Split buckets into n_jobs disjoint sets with near-equal row volume:
+    greedy LPT (heaviest bucket to the currently-lightest job). Deterministic;
+    buckets with unknown volume weigh 0 and spread round-robin by the
+    tiebreak. At cluster scale this keeps one hot bucket from serializing a
+    whole maintenance wave behind it."""
+    n_jobs = max(1, min(n_jobs, n_buckets))
+    loads = [0] * n_jobs
+    jobs: list[list[int]] = [[] for _ in range(n_jobs)]
+    order = sorted(range(n_buckets), key=lambda b: (-rows_by_bucket.get(b, 0), b))
+    for b in order:
+        j = min(range(n_jobs), key=lambda i: (loads[i], len(jobs[i]), i))
+        jobs[j].append(b)
+        loads[j] += rows_by_bucket.get(b, 0)
+    return [sorted(j) for j in jobs if j]
+
+
 def compact_table_parallel(
     table: LakeTable,
     tombstone_retention_ts,
@@ -144,13 +163,20 @@ def compact_table_parallel(
 ) -> list[CompactionStats]:
     """Whole-table compaction as n_jobs disjoint bucket-range jobs submitted
     concurrently (Spark schedules jobs from multiple threads; on a cluster
-    each range is an independent spark-submit). Snapshot expiry, if requested,
-    runs once at the end — it is a driver-side metadata sweep."""
+    each range is an independent spark-submit). Ranges are balanced by the
+    manifest's per-file row counts, not bucket count. Snapshot expiry, if
+    requested, runs once at the end — it is a driver-side metadata sweep."""
     from concurrent.futures import ThreadPoolExecutor
 
-    n_buckets = table.current().n_buckets
+    snap = table.current()
+    n_buckets = snap.n_buckets
     n_jobs = max(1, min(n_jobs, n_buckets))
-    ranges = [list(range(i, n_buckets, n_jobs)) for i in range(n_jobs)]
+    rows_by_bucket: dict[int, int] = {}
+    for f in snap.files:
+        rows_by_bucket[f["bucket"]] = rows_by_bucket.get(f["bucket"], 0) + (
+            f.get("rows") or 1  # stat-less file: weigh by file count
+        )
+    ranges = balance_bucket_ranges(rows_by_bucket, n_buckets, n_jobs)
     with ThreadPoolExecutor(max_workers=n_jobs) as ex:
         stats = list(
             ex.map(

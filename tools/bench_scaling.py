@@ -130,6 +130,12 @@ def main():
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from host_health import probe
 
+    # Pre-generate the feed BEFORE gating: feedgen takes minutes at 64M and
+    # only needs to be correct, not fast — burning a healthy window on it
+    # would leave the legs to run on the next throttle trough.
+    feed_dir = pregenerate_feed(n_events)
+    os.environ["AQ_BENCH_FEED_DIR"] = feed_dir
+
     # Self-gate on host health BEFORE measuring (judge r2: a throttled host
     # produced 0.23-0.57 efficiencies that said nothing about the code).
     min_bw = float(os.environ.get("AQ_SCALE_MIN_MEMBW", "5.0"))
@@ -156,10 +162,21 @@ def main():
     # lo,hi per round so drift hits both sides, (c) probed before each leg;
     # each round yields its own efficiency and the verdict comes from the
     # best round whose BOTH probes cleared the gate.
-    feed_dir = pregenerate_feed(n_events)
-    os.environ["AQ_BENCH_FEED_DIR"] = feed_dir
     per_round = []
+    round_gate_timeout = float(os.environ.get("AQ_SCALE_ROUND_GATE_TIMEOUT_S", "1800"))
+    stop_on_pass = os.environ.get("AQ_SCALE_STOP_ON_PASS", "1") == "1"
     for r in range(rounds):
+        if r > 0:
+            # Re-gate per round: the throttle oscillates faster than a multi-
+            # round campaign, so don't burn a round on a known-bad stretch.
+            h_r, _ = wait_healthy(min_bw, round_gate_timeout, gate_interval)
+            if not h_r["gate_ok"] and os.environ.get("AQ_SCALE_FORCE") != "1":
+                print(
+                    json.dumps({"round": r, "skipped": "host stayed below gate"}),
+                    file=sys.stderr,
+                    flush=True,
+                )
+                break
         legs = {}
         probes = {}
         for cpus in (lo, hi):
@@ -183,6 +200,8 @@ def main():
                 "efficiency": round(eff_r, 3),
             }
         )
+        if stop_on_pass and per_round[-1]["healthy_pair"] and eff_r >= 0.8:
+            break  # criterion demonstrated on a clean pair — stop burning the host
     healthy_rounds = [p for p in per_round if p["healthy_pair"]]
     graded = healthy_rounds or per_round
     best = max(graded, key=lambda p: p["efficiency"])
