@@ -130,6 +130,9 @@ def merge_change_batch(
     extra_txn: dict | None = None,
     lineage_rows: list[dict] | None = None,
     pipe_state: str | None = None,
+    physical: bool = False,  # batch rows are ALREADY physical transcript rows
+    # (sentinels, tombstones, _lsn in place) — e.g. a parent table's changelog
+    # consumed by a chained child (streaming/chain.py); skip normalize_events
 ) -> MergeResult:
     """Apply one micro-batch of change events. Idempotent by (writer_id, batch_id).
 
@@ -147,8 +150,13 @@ def merge_change_batch(
             return MergeResult(batch_id, True, None, [])
 
         mode = snap.properties.get("merge_mode", "cow")
-        physical = snap.schema()
-        src = normalize_events(batch_df, physical)
+        phys_schema = snap.schema()
+        if physical:
+            src = batch_df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in phys_schema.fields]
+            )
+        else:
+            src = normalize_events(batch_df, phys_schema)
         if salt and salt > 1:
             src = lww_dedup(src, salt=salt)
         src = src.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))

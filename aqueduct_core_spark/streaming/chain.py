@@ -1,0 +1,119 @@
+"""Chained pipes: a child table that tails a PARENT lake table's changelog.
+
+This is the reference's entire distribution model re-expressed over the lake:
+a pipe serves pipes below it down a binary tree, and every child consumes
+`GET /pipe/{offset}` from its PARENT, not from the central log
+(registry-core/.../SubNodeGroup.java:53-65 builds the tree;
+pipe-http-client/.../HttpPipeClient.java:36-63 is the child's tail loop).
+Here the parent's snapshot versions ARE the offsets: a child remembers the
+last parent version it applied — atomically, as its own merge batch_id in the
+child manifest's txn register — and each sync applies
+`read_changes(parent, since=last, until=current)` as one idempotent merge of
+already-physical rows (tombstones and cascade sentinels flow through as
+rows, so LWW + conversation-delete semantics replicate without re-deriving
+anything).
+
+Fallback: a child that fell behind the parent's snapshot retention cannot
+replay the missing interval (manifests expired — the reference's
+compacted-away offsets). It bootstraps from a full resolved snapshot read
+instead, which LWW-converges to the same state; deletes older than the
+parent's tombstone retention are purged on both sides by then, exactly the
+reference's late-reader contract.
+
+Chains compose: a child table is itself merge-on-read, so a grandchild tails
+it the same way (tested three levels deep in tests/test_chain.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from aqueduct_core_spark.lake.merge import (
+    merge_change_batch,
+    read_changes,
+    read_resolved,
+)
+from aqueduct_core_spark.lake.table import LakeTable
+from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+
+
+@dataclass
+class SyncResult:
+    applied: bool
+    parent_version: int
+    since_version: int
+    bootstrapped: bool = False  # interval expired -> full-snapshot fallback
+
+
+class ChainedConsumer:
+    """Tails a parent transcript table into a child table, one version-interval
+    merge per sync. Exactly-once by construction: the child's last-applied
+    parent version rides in the same atomic manifest commit as the data."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        parent_root: str,
+        table_root: str,
+        n_buckets: int = 16,
+        merge_mode: str = "mor",  # mor keeps the child tailable by grandchildren
+        writer_id: str = "chain",
+    ):
+        self.spark = spark
+        self.parent_root = parent_root
+        self.table_root = table_root
+        self.n_buckets = n_buckets
+        self.merge_mode = merge_mode
+        self.writer_id = writer_id
+
+    def ensure_table(self) -> LakeTable:
+        if LakeTable.exists(self.table_root):
+            return LakeTable(self.spark, self.table_root)
+        return LakeTable.create(
+            self.spark,
+            self.table_root,
+            TRANSCRIPT_PHYSICAL_SCHEMA,
+            bucket_key="conv_id",
+            n_buckets=self.n_buckets,
+            properties={"merge_mode": self.merge_mode},
+        )
+
+    def sync_once(self) -> SyncResult:
+        """Apply everything the parent committed since the last sync. No-op
+        (and no commit) when the child is already caught up."""
+        parent = LakeTable(self.spark, self.parent_root)
+        pv = parent.current().version
+        child = self.ensure_table()
+        # version 1 is table creation (no files), so a fresh child starts there
+        last = child.current().txn.get(self.writer_id, 1)
+        if pv <= last:
+            return SyncResult(applied=False, parent_version=pv, since_version=last)
+        bootstrapped = False
+        try:
+            batch = read_changes(parent, since_version=last, until_version=pv)
+        except ValueError:
+            # fell past the parent's snapshot retention — the reference's
+            # compacted-away offsets: bootstrap from the full resolved view
+            batch = read_resolved(parent, version=pv)
+            bootstrapped = True
+        merge_change_batch(
+            child, batch, batch_id=pv, writer_id=self.writer_id, physical=True
+        )
+        return SyncResult(
+            applied=True,
+            parent_version=pv,
+            since_version=last,
+            bootstrapped=bootstrapped,
+        )
+
+    def run_until_caught_up(self, max_syncs: int = 1000) -> list[SyncResult]:
+        """Sync repeatedly until a round applies nothing (parent idle)."""
+        out: list[SyncResult] = []
+        for _ in range(max_syncs):
+            r = self.sync_once()
+            out.append(r)
+            if not r.applied:
+                break
+        return out

@@ -1,0 +1,91 @@
+"""Chained pipes: child (and grandchild) tables tail their parent's changelog
+and converge to the same observable state as the parent and the pure-Python
+oracle — the reference's distribution-tree consumption model
+(SubNodeGroup.java tree + HttpPipeClient.java tail loop) over lake tables."""
+
+from __future__ import annotations
+
+import random
+
+from aqueduct_core_spark.lake.merge import merge_change_batch
+from aqueduct_core_spark.lake.table import LakeTable
+from aqueduct_core_spark.oracle import replay
+from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+from aqueduct_core_spark.streaming.chain import ChainedConsumer
+from aqueduct_core_spark.transcripts import read_transcripts
+
+from tests.util import ev, events_df
+
+
+def make_parent(spark, path):
+    return LakeTable.create(
+        spark, path, TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+        n_buckets=4, properties={"merge_mode": "mor"},
+    )
+
+
+def feed_events(n=300, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for lsn in range(1, n + 1):
+        conv = f"c{rng.randrange(8)}"
+        if rng.random() < 0.08:
+            out.append(ev(lsn, op=rng.choice(["I", "D"]), entity="conversation",
+                          conv=conv, t=lsn + rng.randrange(-6, 7)))
+        else:
+            out.append(ev(lsn, op=rng.choice(["I", "U", "U", "D"]), conv=conv,
+                          turn=rng.randrange(6), t=lsn + rng.randrange(-6, 7)))
+    return out
+
+
+def visible(table):
+    return [tuple(r) for r in read_transcripts(table).orderBy("conv_id", "turn_idx").collect()]
+
+
+def test_child_and_grandchild_converge_interleaved(spark, tmp_path):
+    events = feed_events()
+    parent = make_parent(spark, str(tmp_path / "p"))
+    child = ChainedConsumer(spark, str(tmp_path / "p"), str(tmp_path / "ch"))
+    grand = ChainedConsumer(spark, str(tmp_path / "ch"), str(tmp_path / "g"))
+    # interleave: parent ingests a batch, child syncs (sometimes), grandchild lags
+    for i in range(0, 300, 60):
+        merge_change_batch(parent, events_df(spark, events[i : i + 60]), batch_id=i)
+        if i % 120 == 0:
+            child.sync_once()
+    child.run_until_caught_up()
+    grand.run_until_caught_up()
+    expected = [
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in replay(events)
+    ]
+    assert visible(parent) == expected
+    assert visible(LakeTable(spark, str(tmp_path / "ch"))) == expected
+    assert visible(LakeTable(spark, str(tmp_path / "g"))) == expected
+
+
+def test_sync_is_idempotent_and_noop_when_caught_up(spark, tmp_path):
+    parent = make_parent(spark, str(tmp_path / "p"))
+    merge_change_batch(parent, events_df(spark, feed_events(50)), batch_id=0)
+    child = ChainedConsumer(spark, str(tmp_path / "p"), str(tmp_path / "ch"))
+    r1 = child.sync_once()
+    assert r1.applied and not r1.bootstrapped
+    v_after = LakeTable(spark, str(tmp_path / "ch")).current().version
+    r2 = child.sync_once()
+    assert not r2.applied
+    assert LakeTable(spark, str(tmp_path / "ch")).current().version == v_after
+
+
+def test_child_past_retention_bootstraps_from_snapshot(spark, tmp_path):
+    events = feed_events(180, seed=9)
+    parent = make_parent(spark, str(tmp_path / "p"))
+    for i in range(0, 180, 60):
+        merge_change_batch(parent, events_df(spark, events[i : i + 60]), batch_id=i)
+    parent.expire_snapshots(keep_last=1)  # child's interval manifests are gone
+    child = ChainedConsumer(spark, str(tmp_path / "p"), str(tmp_path / "ch"))
+    r = child.sync_once()
+    assert r.applied and r.bootstrapped
+    expected = [
+        (e["conv_id"], e["turn_idx"], e["role"], e["text"], e["tool"], e["ts"])
+        for e in replay(events)
+    ]
+    assert visible(LakeTable(spark, str(tmp_path / "ch"))) == expected
