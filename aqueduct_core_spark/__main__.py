@@ -114,16 +114,66 @@ def cmd_status(args) -> int:
 
     spark = _spark("aqueduct-status")
     snap = LakeTable(spark, args.table).current()
+    rows_known = [f["rows"] for f in snap.files if f.get("rows")]
     print(
         json.dumps(
             {
                 "version": snap.version,
                 "files": len(snap.files),
                 "delta_files": sum(1 for f in snap.files if f.get("kind") == "delta"),
+                # physical rows from manifest stats (pre-LWW-resolution; exact
+                # when every file carries footer stats)
+                "rows_physical": sum(rows_known) if rows_known else None,
                 "mode": snap.properties.get("merge_mode", "cow"),
                 "pipe_state": snap.properties.get("pipe_state", "UNKNOWN"),
                 "txn": snap.txn,
                 "lineage": snap.properties.get("lineage", {}),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_changes(args) -> int:
+    """Changelog page: rows appended by merge commits after --since-version —
+    the CLI form of the reference's `GET /pipe/{offset}` consumption."""
+    from aqueduct_core_spark.lake.merge import read_changes
+    from aqueduct_core_spark.lake.table import LakeTable
+
+    spark = _spark("aqueduct-changes")
+    table = LakeTable(spark, args.table)
+    until = args.until_version or table.current().version
+    df = read_changes(table, since_version=args.since_version, until_version=until)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        n = df.count()
+    print(json.dumps({"rows": n, "since_version": args.since_version,
+                      "until_version": until, "out": args.out}))
+    return 0
+
+
+def cmd_chain(args) -> int:
+    """Tail a parent table into a child table (the distribution-tree edge)."""
+    from aqueduct_core_spark.streaming.chain import ChainedConsumer
+
+    spark = _spark("aqueduct-chain")
+    c = ChainedConsumer(
+        spark,
+        parent_root=args.parent,
+        table_root=args.table,
+        n_buckets=args.buckets,
+        merge_mode=args.mode,
+        writer_id=args.writer_id,
+    )
+    results = c.run_until_caught_up(max_syncs=args.max_syncs)
+    print(
+        json.dumps(
+            {
+                "syncs_applied": sum(1 for r in results if r.applied),
+                "bootstrapped": any(r.bootstrapped for r in results),
+                "parent_version": results[-1].parent_version if results else None,
             }
         )
     )
@@ -173,6 +223,22 @@ def main(argv=None) -> int:
     ps = sub.add_parser("status", help="snapshot/lineage/pipe-state report")
     ps.add_argument("--table", required=True)
     ps.set_defaults(fn=cmd_status)
+
+    pg = sub.add_parser("changes", help="changelog page after a snapshot version")
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--since-version", type=int, required=True)
+    pg.add_argument("--until-version", type=int, default=None)
+    pg.add_argument("--out", default=None, help="write the page as parquet here")
+    pg.set_defaults(fn=cmd_changes)
+
+    ph = sub.add_parser("chain", help="tail a parent table into a child table")
+    ph.add_argument("--parent", required=True)
+    ph.add_argument("--table", required=True)
+    ph.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    ph.add_argument("--buckets", type=int, default=64)
+    ph.add_argument("--writer-id", default="chain")
+    ph.add_argument("--max-syncs", type=int, default=1000)
+    ph.set_defaults(fn=cmd_chain)
 
     args = p.parse_args(argv)
     return args.fn(args)

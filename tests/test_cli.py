@@ -1,0 +1,60 @@
+"""CLI surface: status (manifest stats), changes (changelog page), chain
+(distribution-tree edge) — driven in-process through main(argv)."""
+
+from __future__ import annotations
+
+import json
+
+from aqueduct_core_spark.__main__ import main
+from aqueduct_core_spark.lake.merge import merge_change_batch
+from aqueduct_core_spark.lake.table import LakeTable
+from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+from aqueduct_core_spark.transcripts import read_transcripts
+
+from tests.util import ev, events_df
+
+
+def build_parent(spark, path):
+    t = LakeTable.create(
+        spark, path, TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+        n_buckets=4, properties={"merge_mode": "mor"},
+    )
+    for i in range(2):
+        batch = [ev(i * 100 + j, conv=f"c{j % 3}", turn=j, t=i * 100 + j) for j in range(1, 9)]
+        merge_change_batch(t, events_df(spark, batch), batch_id=i)  # v2, v3
+    return t
+
+
+def last_json(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_status_reports_manifest_rows(spark, tmp_path, capsys):
+    t = build_parent(spark, str(tmp_path / "p"))
+    assert main(["status", "--table", str(tmp_path / "p")]) == 0
+    out = last_json(capsys)
+    assert out["version"] == 3 and out["delta_files"] > 0
+    assert out["rows_physical"] == t.read().count() == 16
+
+
+def test_changes_page_and_parquet_out(spark, tmp_path, capsys):
+    build_parent(spark, str(tmp_path / "p"))
+    assert main(["changes", "--table", str(tmp_path / "p"), "--since-version", "2"]) == 0
+    assert last_json(capsys)["rows"] == 8  # second batch only
+    out_dir = str(tmp_path / "page")
+    assert main(["changes", "--table", str(tmp_path / "p"), "--since-version", "1",
+                 "--out", out_dir]) == 0
+    assert last_json(capsys)["rows"] == 16
+    assert spark.read.parquet(out_dir).count() == 16
+
+
+def test_chain_cli_converges_child(spark, tmp_path, capsys):
+    parent = build_parent(spark, str(tmp_path / "p"))
+    assert main(["chain", "--parent", str(tmp_path / "p"), "--table",
+                 str(tmp_path / "ch"), "--buckets", "4"]) == 0
+    out = last_json(capsys)
+    assert out["syncs_applied"] == 1 and out["parent_version"] == 3
+    child = LakeTable(spark, str(tmp_path / "ch"))
+    a = [tuple(r) for r in read_transcripts(parent).orderBy("conv_id", "turn_idx").collect()]
+    b = [tuple(r) for r in read_transcripts(child).orderBy("conv_id", "turn_idx").collect()]
+    assert a == b and len(a) > 0
