@@ -152,8 +152,14 @@ def merge_change_batch(
         mode = snap.properties.get("merge_mode", "cow")
         phys_schema = snap.schema()
         if physical:
+            bcols = set(batch_df.columns)
             src = batch_df.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in phys_schema.fields]
+                *[
+                    (F.col(f.name) if f.name in bcols else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in phys_schema.fields
+                ]
             )
         else:
             src = normalize_events(batch_df, phys_schema)

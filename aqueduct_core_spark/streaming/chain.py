@@ -90,6 +90,14 @@ class ChainedConsumer:
         last = child.current().txn.get(self.writer_id, 1)
         if pv <= last:
             return SyncResult(applied=False, parent_version=pv, since_version=last)
+        # Schema follow: a parent evolution (add column / widen) propagates
+        # down the tree before the merge, else the physical cast would
+        # silently drop the new column (the engine's feed-schema follow,
+        # applied at the chain edge).
+        parent_schema = parent.snapshot_at(pv).schema()
+        child_fields = {f.name for f in child.current().schema().fields}
+        if {f.name for f in parent_schema.fields} - child_fields:
+            child.evolve_schema(parent_schema)
         bootstrapped = False
         try:
             batch = read_changes(parent, since_version=last, until_version=pv)

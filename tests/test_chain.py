@@ -89,3 +89,22 @@ def test_child_past_retention_bootstraps_from_snapshot(spark, tmp_path):
         for e in replay(events)
     ]
     assert visible(LakeTable(spark, str(tmp_path / "ch"))) == expected
+
+
+def test_schema_follow_down_the_chain(spark, tmp_path):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    parent = make_parent(spark, str(tmp_path / "p"))
+    merge_change_batch(parent, events_df(spark, feed_events(40, seed=3)), batch_id=2)
+    child = ChainedConsumer(spark, str(tmp_path / "p"), str(tmp_path / "ch"))
+    child.sync_once()
+    # parent evolves (add column), then commits more data
+    evolved = StructType(
+        list(TRANSCRIPT_PHYSICAL_SCHEMA.fields) + [StructField("lang", StringType(), True)]
+    )
+    parent.evolve_schema(evolved)
+    merge_change_batch(parent, events_df(spark, feed_events(40, seed=4)), batch_id=3)
+    child.run_until_caught_up()
+    child_t = LakeTable(spark, str(tmp_path / "ch"))
+    assert "lang" in [f.name for f in child_t.current().schema().fields]
+    assert visible(child_t) == visible(parent)  # incl. the NULL lang column
