@@ -104,3 +104,50 @@ def test_mid_stream_range_compaction_preserves_oracle(spark, tmp_path_factory, c
     assert view() == want
     compact_table(table, datetime(2030, 1, 1), keep_snapshots=1)  # purge aged tombstones
     assert view() == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_logs(), st.data())
+def test_chained_consumer_equals_oracle_any_sync_points(
+    spark, tmp_path_factory, case, data
+):
+    """A chained child syncing at ARBITRARY points between parent batches
+    (including never until the end, and including a mid-stream parent
+    compaction that folds the deltas the child has not read yet) must end
+    equal to the parent and the oracle — the distribution-tree edge under
+    adversarial interleavings."""
+    from datetime import datetime
+
+    from aqueduct_core_spark.maintenance import compact_table
+    from aqueduct_core_spark.streaming.chain import ChainedConsumer
+
+    events, cuts = case
+    base = str(tmp_path_factory.mktemp("propch"))
+    parent = LakeTable.create(
+        spark, f"{base}/p", TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+        n_buckets=4, properties={"merge_mode": "mor"},
+    )
+    child = ChainedConsumer(spark, f"{base}/p", f"{base}/ch", n_buckets=4)
+    bounds = [0] + [c for c in cuts if c < len(events)] + [len(events)]
+    for i in range(len(bounds) - 1):
+        chunk = events[bounds[i] : bounds[i + 1]]
+        if chunk:
+            merge_change_batch(parent, events_df(spark, chunk), batch_id=i)
+        if data.draw(st.booleans(), label=f"sync_after_{i}"):
+            child.sync_once()
+        if data.draw(st.booleans(), label=f"parent_compact_{i}") and data.draw(
+            st.booleans(), label=f"parent_compact2_{i}"
+        ):
+            # fold-only (retention below all ts), manifests kept for the child
+            compact_table(parent, datetime(1970, 1, 1), keep_snapshots=100)
+    child.run_until_caught_up()
+
+    def view(t):
+        return [
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in read_transcripts(t).orderBy("conv_id", "turn_idx").collect()
+        ]
+
+    want = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(events)]
+    assert view(parent) == want
+    assert view(LakeTable(spark, f"{base}/ch")) == want
