@@ -179,7 +179,9 @@ def main():
                 break
         legs = {}
         probes = {}
-        for cpus in (lo, hi):
+        # hi first: it is the short, bandwidth-hungry leg — give it the front
+        # of the window; lo (CPU-bound at 4 threads) tolerates decay better.
+        for cpus in (hi, lo):
             probes[cpus] = probe()
             legs[cpus] = run_one(cpus, n_events)["cdc_replay"]
             print(
@@ -187,16 +189,23 @@ def main():
                 file=sys.stderr,
                 flush=True,
             )
+        # post-round probe: round 0 of the 2026-08-16 campaign proved a pre-leg
+        # probe can pass and the host collapse MID-leg (32 GB/s probe, then a
+        # 5x-slow leg). Bracketing probes on both sides of every leg makes a
+        # mid-leg collapse visible: healthy_pair now requires all three.
+        probe_post = probe()
         eff_r = (legs[lo]["sec"] / legs[hi]["sec"]) / (hi / lo)
         per_round.append(
             {
                 "round": r,
                 f"local{lo}": legs[lo],
                 f"local{hi}": legs[hi],
-                "probe_lo_membw16": probes[lo]["membw_16p_GBs"],
                 "probe_hi_membw16": probes[hi]["membw_16p_GBs"],
+                "probe_lo_membw16": probes[lo]["membw_16p_GBs"],
+                "probe_post_membw16": probe_post["membw_16p_GBs"],
                 "healthy_pair": probes[lo]["membw_16p_GBs"] >= min_bw
-                and probes[hi]["membw_16p_GBs"] >= min_bw,
+                and probes[hi]["membw_16p_GBs"] >= min_bw
+                and probe_post["membw_16p_GBs"] >= min_bw,
                 "efficiency": round(eff_r, 3),
             }
         )
