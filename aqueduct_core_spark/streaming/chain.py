@@ -92,11 +92,15 @@ class ChainedConsumer:
             return SyncResult(applied=False, parent_version=pv, since_version=last)
         # Schema follow: a parent evolution (add column / widen) propagates
         # down the tree before the merge, else the physical cast would
-        # silently drop the new column (the engine's feed-schema follow,
-        # applied at the chain edge).
+        # silently drop the new column — or narrow a widened one back (the
+        # merge aligns the batch to the CHILD schema, so a long parent value
+        # over int range would fail the ANSI cast mid-merge). Compare
+        # (name, type), not names: a widen changes no names.
         parent_schema = parent.snapshot_at(pv).schema()
-        child_fields = {f.name for f in child.current().schema().fields}
-        if {f.name for f in parent_schema.fields} - child_fields:
+        child_fields = {
+            (f.name, f.dataType) for f in child.current().schema().fields
+        }
+        if {(f.name, f.dataType) for f in parent_schema.fields} - child_fields:
             child.evolve_schema(parent_schema)
         bootstrapped = False
         try:

@@ -108,3 +108,30 @@ def test_schema_follow_down_the_chain(spark, tmp_path):
     child_t = LakeTable(spark, str(tmp_path / "ch"))
     assert "lang" in [f.name for f in child_t.current().schema().fields]
     assert visible(child_t) == visible(parent)  # incl. the NULL lang column
+
+
+def test_widen_only_evolution_follows_down_the_chain(spark, tmp_path):
+    """A widen changes NO field names, so a name-based schema follow would
+    miss it and the child's merge would cast the parent's long values back to
+    int (silent narrowing; ANSI error once a value exceeds int range)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parent = make_parent(spark, str(tmp_path / "p"))
+    merge_change_batch(parent, events_df(spark, feed_events(40, seed=5)), batch_id=2)
+    child = ChainedConsumer(spark, str(tmp_path / "p"), str(tmp_path / "ch"))
+    child.sync_once()
+    widened = StructType(
+        [
+            StructField("turn_idx", LongType(), f.nullable)
+            if f.name == "turn_idx"
+            else f
+            for f in TRANSCRIPT_PHYSICAL_SCHEMA.fields
+        ]
+    )
+    parent.evolve_schema(widened)
+    merge_change_batch(parent, events_df(spark, feed_events(40, seed=6)), batch_id=3)
+    child.run_until_caught_up()
+    child_t = LakeTable(spark, str(tmp_path / "ch"))
+    child_types = {f.name: f.dataType for f in child_t.current().schema().fields}
+    assert isinstance(child_types["turn_idx"], LongType)
+    assert visible(child_t) == visible(parent)
