@@ -293,6 +293,72 @@ def q_cdc_visibility_window(spark, sf_dir):
     )
 
 
+def q_cdc_chained_consumer(spark, sf_dir):
+    """End-to-end chained-pipe equality: the events log is mapped onto the
+    transcript change-feed shape, merged into a PARENT lake table in two
+    commits, and a CHILD table tails the parent's changelog
+    (`ChainedConsumer` over `read_changes` version intervals — the
+    reference's distribution tree: registry-core/.../SubNodeGroup.java:53-65
+    builds the tree, pipe-http-client/.../HttpPipeClient.java:36-63 is the
+    child's tail loop). Returned: the child's live transcript view, which the
+    oracle recomputes as a plain LWW resolution over the same derived feed —
+    so the whole write→changelog→child-merge→resolved-read path is
+    hash-gated, not just unit-tested.
+
+    Scale shape: each child sync is a manifest walk (O(commits in the
+    interval), driver-side JSON) plus a bucket-local merge of only the
+    interval's delta files — independent of table size."""
+    _conf(spark)
+    import tempfile
+
+    from aqueduct_core_spark.lake.merge import merge_change_batch
+    from aqueduct_core_spark.lake.table import LakeTable
+    from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+    from aqueduct_core_spark.streaming.chain import ChainedConsumer
+    from aqueduct_core_spark.transcripts import read_transcripts
+
+    ev = _events(spark, sf_dir)
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("change_lsn"),
+        F.when(_is_delete(), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit("turn").alias("entity"),
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(40)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.pmod(F.col("user_id"), F.lit(N_ROUTING)).cast("long").alias("routing_id"),
+        F.lit(None).cast("int").alias("event_size"),
+    )
+    mid = int(feed.agg(F.max("change_lsn")).collect()[0][0]) // 2  # scalar watermark
+    # temp roots are left on disk: the returned DataFrame reads them lazily
+    root = tempfile.mkdtemp(prefix="aq_chainq_")
+    parent = LakeTable.create(
+        spark,
+        f"{root}/parent",
+        TRANSCRIPT_PHYSICAL_SCHEMA,
+        bucket_key="conv_id",
+        n_buckets=8,
+        properties={"merge_mode": "mor"},
+    )
+    child = ChainedConsumer(spark, f"{root}/parent", f"{root}/child", n_buckets=8)
+    merge_change_batch(parent, feed.filter(F.col("change_lsn") <= mid), batch_id=1)
+    child.run_until_caught_up()  # interval 1 applied from the changelog
+    merge_change_batch(parent, feed.filter(F.col("change_lsn") > mid), batch_id=2)
+    child.run_until_caught_up()  # interval 2 applied incrementally
+    out = read_transcripts(LakeTable(spark, f"{root}/child"))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 def q_olap_segment_stats(spark, sf_dir):
     _conf(spark)
     cust = _t("customer")(spark, sf_dir)
@@ -566,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hourly_rollup": q_cdc_hourly_rollup,
         "cdc_visibility_window": q_cdc_visibility_window,
         "cdc_mark_sweep_survivors": q_cdc_mark_sweep_survivors,
+        "cdc_chained_consumer": q_cdc_chained_consumer,
         "olap_segment_stats": q_olap_segment_stats,
         "text_top_bigrams": q_text_top_bigrams,
         "olap_pricing_summary": q_olap_pricing_summary,
@@ -812,6 +879,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id <= (SELECT max(event_id) FROM events
                                WHERE ts <= TIMESTAMP '{BEFORE_TS}')
+        """,
+        "cdc_chained_consumer": """
+            WITH feed AS (
+                SELECT event_id AS change_lsn,
+                       (event_type = 'error') AS is_del,
+                       'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id % 40 AS INTEGER) AS turn_idx,
+                       event_type AS role,
+                       event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+                       ts
+                FROM events),
+            win AS (
+                SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                             ORDER BY ts DESC, change_lsn DESC) rn
+                FROM feed)
+            SELECT conv_id, turn_idx, role, text,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+            FROM win WHERE rn = 1 AND NOT is_del
         """,
         "olap_segment_stats": """
             SELECT c_mktsegment, count(*) AS n_customers,
