@@ -32,7 +32,7 @@ import time
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aqueduct_core_spark.lake.table import (
@@ -177,6 +177,7 @@ def merge_change_batch(
         if mode != "mor":
             src = src.persist()
         try:
+            n_out = table.write_parallelism(snap)
             if mode == "mor":
                 # Merge-on-read (the reference's own shape: the edge store APPENDS
                 # every message and compacts separately, SQLiteStorage.java:134-171
@@ -184,20 +185,38 @@ def merge_change_batch(
                 # DELTA files — no target scan, no rewrite; LWW resolution happens
                 # at read time (resolve_lww) and compaction folds deltas into base.
                 # Write amplification per batch: exactly the batch, nothing else.
-                resolved_batch = resolve_lww(src)
-                new_files = table.write_files(resolved_batch, snap, kind="delta")
+                #
+                # ONE exchange for the whole apply: repartition by bucket FIRST,
+                # then group by (bucket, key) — bucket is a function of conv_id,
+                # so HashPartitioning(bucket) already satisfies the aggregation's
+                # ClusteredDistribution and the bucketed write needs no second
+                # shuffle. (The old shape shuffled twice: groupBy(key), then
+                # repartition(bucket) inside write_files — 2x the batch over the
+                # wire for a dedup that barely shrinks a ~unique-key feed.)
+                resolved_batch = resolve_lww(
+                    src.repartition(n_out, F.col(BUCKET_COL)),
+                    group_prefix=(BUCKET_COL,),
+                )
+                new_files = table.write_files(
+                    resolved_batch, snap, kind="delta", already_bucketed=True
+                )
                 keep = list(snap.files)
                 affected = sorted({f["bucket"] for f in new_files})
             else:
                 # Copy-on-write: only buckets the batch touches are read (manifest
                 # pruning; the bucket set is a cheap int-distinct over the batch)
-                # and rewritten fully — reads stay resolution-free.
+                # and rewritten fully — reads stay resolution-free. Same
+                # single-exchange shape as MOR: bucket-partition the base ∪ batch
+                # union once, resolve in place, write in place.
                 affected = sorted(
                     r[0] for r in src.select(BUCKET_COL).distinct().collect()
                 )
                 target = table.read(buckets=affected, with_bucket_col=True)
-                guarded = resolve_lww(target.unionByName(src))
-                new_files = table.write_files(guarded, snap)
+                guarded = resolve_lww(
+                    target.unionByName(src).repartition(n_out, F.col(BUCKET_COL)),
+                    group_prefix=(BUCKET_COL,),
+                )
+                new_files = table.write_files(guarded, snap, already_bucketed=True)
                 keep = [f for f in snap.files if f["bucket"] not in set(affected)]
         finally:
             if mode != "mor":
@@ -246,51 +265,62 @@ def merge_change_batch(
             continue
 
 
-def resolve_lww(df: DataFrame) -> DataFrame:
+def resolve_lww(df: DataFrame, group_prefix: Sequence[str] = ()) -> DataFrame:
     """Resolve raw physical rows (possibly many versions per key) into the
     LWW-consistent row set: one winner per key by (ts, _lsn), then the
     conversation-tombstone cascade (wave-2 guard). Tombstone/sentinel rows
     survive resolution — the read view filters them; compaction purges them.
 
     Shared by the COW merge (applied at write), the MOR read path (applied at
-    read over base ∪ delta files), and compaction (folds deltas into base)."""
-    row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+    read over base ∪ delta files), and compaction (folds deltas into base).
+
+    `group_prefix` prepends columns that are FUNCTIONS OF the key (e.g. the
+    bucket column, a hash of conv_id) to the grouping — semantically free,
+    but it lets Catalyst satisfy the aggregation's ClusteredDistribution from
+    an existing HashPartitioning on the prefix alone, so a caller that has
+    already repartitioned by bucket pays ZERO extra exchanges here (the merge
+    write path's single-shuffle plan; asserted in tests/test_lake_merge.py)."""
+    group_cols = [*group_prefix, *KEY_COLS]
+    payload_cols = [c for c in df.columns if c not in group_cols]
+    row = F.struct(*[F.col(c) for c in payload_cols]).alias("_row")
     ordk = F.struct(*[F.col(c) for c in ORDER_COLS])
+    # Key/prefix columns come from the GROUPING attributes, not from the
+    # winner struct — same values (they define the group), but the grouping
+    # attributes carry the input's partitioning lineage, so a caller's bucket
+    # partitioning survives the aggregation (a `_w.*` re-projection would
+    # sever it and force re-exchanges downstream).
     merged = (
-        df.groupBy(*KEY_COLS).agg(F.max_by(row, ordk).alias("_w")).select("_w.*")
+        df.groupBy(*group_cols)
+        .agg(F.max_by(row, ordk).alias("_w"))
+        .select(*group_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+        .select(*df.columns)
     )
 
     # Conversation-delete cascade: every turn older than the latest
     # conversation delete is gone; newer turns (re-created conversation)
-    # survive. Built from a pre-filtered plan so the join build side does not
-    # re-run the full aggregation. NO forced broadcast: within a micro-batch
-    # the tombstone dim is batch-bounded, but resolve_lww also runs on the MOR
-    # read path over base ∪ delta, where it holds every conversation-delete
-    # sentinel since the last compaction — unbounded at 10^10 events. AQE
-    # broadcasts it when the runtime size is under the threshold and falls
-    # back to a shuffled hash join otherwise (see tests/test_lake_merge.py::
-    # test_resolve_lww_tombstone_join_not_forced_broadcast).
-    tomb_rows = df.filter(F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX))
-    conv_tombs = (
-        tomb_rows.groupBy("conv_id")
-        .agg(F.max(F.struct(F.col("ts"), F.col("_lsn"))).alias("_t"))
-        .select(
-            F.col("conv_id").alias("_t_conv"),
-            F.col("_t.ts").alias("_t_ts"),
-            F.col("_t._lsn").alias("_t_lsn"),
+    # survive. The latest conversation tombstone per conv is ALREADY in
+    # `merged` — it is the winner of the cascade-sentinel key
+    # (turn_idx = CONV_DELETE_SENTINEL_TURN_IDX), since max_by over the
+    # sentinel rows IS the per-conv tombstone max. A window max over
+    # (prefix, conv_id) therefore replaces the former build-side
+    # aggregation + join: no second scan of the input, no join exchange
+    # (HashPartitioning on the prefix satisfies the window's
+    # ClusteredDistribution), no size assumption on the tombstone set — it
+    # scales as a per-conv sort, unbounded-dimension-safe on the MOR read
+    # path at 10^10 events.
+    w = Window.partitionBy(*group_prefix, "conv_id")
+    tomb = F.max(
+        F.when(
+            F.col("turn_idx") == F.lit(CONV_DELETE_SENTINEL_TURN_IDX),
+            F.struct(F.col("ts"), F.col("_lsn")),
         )
-    )
+    ).over(w)
     return (
-        merged.join(
-            conv_tombs, merged["conv_id"] == conv_tombs["_t_conv"], "left"
-        )
+        merged.withColumn("_tomb", tomb)
         .filter(
             (F.col("turn_idx") < F.lit(0))  # sentinel rows always survive
-            | F.col("_t_conv").isNull()
-            | (
-                F.struct(F.col("ts"), F.col("_lsn"))
-                > F.struct(F.col("_t_ts"), F.col("_t_lsn"))
-            )
+            | F.col("_tomb").isNull()
+            | (F.struct(F.col("ts"), F.col("_lsn")) > F.col("_tomb"))
         )
         .select(*[F.col(c) for c in df.columns])
     )
@@ -302,6 +332,7 @@ def read_resolved(
     buckets=None,
     with_bucket_col: bool = False,
     ranges: dict | None = None,
+    bucketed_output: bool = False,
 ) -> DataFrame:
     """Snapshot read with MOR resolution: raw rows if the snapshot holds only
     base files (COW — already resolved at write), else resolve_lww over
@@ -315,16 +346,38 @@ def read_resolved(
     the files that can contain matches. With live delta files file skipping is
     deliberately disabled: dropping an old file by stats could discard the
     (ts,_lsn) winner that suppresses a newer losing row and resurrect it
-    (tests/test_lake_stats.py pins this scenario)."""
+    (tests/test_lake_stats.py pins this scenario).
+
+    `bucketed_output=True` (requires with_bucket_col) returns the view
+    hash-partitioned by BUCKET_COL at the table's write parallelism, with any
+    needed LWW resolution grouped by (bucket, key) so the whole read-resolve
+    costs ONE exchange — for writers (compaction, COW rewrites) that will
+    land the result via write_files(already_bucketed=True)."""
     snap = table.current() if version is None else table.snapshot_at(version)
     has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
     df = table.read(
         buckets=buckets,
         version=version,
-        with_bucket_col=with_bucket_col,
+        with_bucket_col=with_bucket_col or has_delta,
         prune_ranges=None if has_delta else ranges,
     )
-    out = resolve_lww(df) if has_delta else df
+    if bucketed_output:
+        df = df.repartition(table.write_parallelism(snap), F.col(BUCKET_COL))
+        out = resolve_lww(df, group_prefix=(BUCKET_COL,)) if has_delta else df
+    elif has_delta:
+        # Plain reads resolve on the same single-exchange plan as writers:
+        # one repartition by the (derivable-at-read) bucket column, then the
+        # LWW aggregation AND the cascade window ride that partitioning.
+        # Partition count deliberately unpinned — spark.sql.shuffle.partitions
+        # (and AQE coalescing) size the read, unlike the write path which must
+        # match the table's file layout.
+        out = resolve_lww(
+            df.repartition(F.col(BUCKET_COL)), group_prefix=(BUCKET_COL,)
+        )
+        if not with_bucket_col:
+            out = out.drop(BUCKET_COL)
+    else:
+        out = df
     if ranges:
         for col, (lo, hi) in ranges.items():
             if lo is not None:

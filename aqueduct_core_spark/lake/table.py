@@ -258,22 +258,40 @@ class LakeTable:
         return df
 
     # ---------------------------------------------------------------- write
-    def write_files(self, df: DataFrame, snap: Snapshot, kind: str = "base") -> list[dict]:
+    def write_parallelism(self, snap: Snapshot) -> int:
+        """Output partition count for a commit's data files — shared by
+        write_files and callers that pre-partition upstream (merge's
+        single-shuffle plan) so both sides agree on the exchange."""
+        return max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism))
+
+    def write_files(
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        kind: str = "base",
+        already_bucketed: bool = False,
+    ) -> list[dict]:
         """Write df (must carry BUCKET_COL) as one commit's data files; returns file
-        entries for the manifest. Distributed write, driver-side enumeration only."""
+        entries for the manifest. Distributed write, driver-side enumeration only.
+
+        `already_bucketed=True` promises df is ALREADY hash-partitioned by
+        BUCKET_COL at write_parallelism(snap) (the merge path repartitions
+        before LWW resolution so the whole apply runs on one exchange); the
+        write then skips its own repartition instead of shuffling a second
+        time."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.root, DATA_DIR, commit_id)
         # one shuffle keyed by bucket so each affected bucket lands in few files
-        n_out = max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism))
+        n_out = self.write_parallelism(snap)
         # INT96 (Spark's legacy default) records no parquet min/max stats, which
         # would blind the manifest's ts pruning; TIMESTAMP_MICROS does.
         ts_conf = "spark.sql.parquet.outputTimestampType"
         prev_ts_type = self.spark.conf.get(ts_conf, None)
         self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
         try:
+            out_df = df if already_bucketed else df.repartition(n_out, F.col(BUCKET_COL))
             (
-                df.repartition(n_out, F.col(BUCKET_COL))
-                .write.partitionBy(BUCKET_COL)
+                out_df.write.partitionBy(BUCKET_COL)
                 .mode("append")
                 .parquet(out_dir)
             )

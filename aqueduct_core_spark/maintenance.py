@@ -51,11 +51,14 @@ def compact_table(
 
     while True:
         snap = table.current()
-        df = read_resolved(table, with_bucket_col=True)
+        # bucketed_output folds resolution + the write's bucket partitioning
+        # into one exchange (resolve grouped by (bucket, key) on the already
+        # bucket-partitioned scan) — the rewrite costs a single shuffle.
+        df = read_resolved(table, with_bucket_col=True, bucketed_output=True)
         kept = df.filter(
             ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
         )
-        new_files = table.write_files(kept, snap, kind="base")
+        new_files = table.write_files(kept, snap, kind="base", already_bucketed=True)
         nxt = Snapshot(
             version=snap.version + 1,
             current_schema_id=snap.current_schema_id,
@@ -106,11 +109,17 @@ def compact_bucket_range(
     folded = {f["path"] for f in snap0.files if f["bucket"] in target}
     if not folded:
         return CompactionStats(version=snap0.version, removed_snapshots=0, skipped=True)
-    df = read_resolved(table, version=snap0.version, buckets=buckets, with_bucket_col=True)
+    df = read_resolved(
+        table,
+        version=snap0.version,
+        buckets=buckets,
+        with_bucket_col=True,
+        bucketed_output=True,
+    )
     kept = df.filter(
         ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
     )
-    new_files = table.write_files(kept, snap0, kind="base")
+    new_files = table.write_files(kept, snap0, kind="base", already_bucketed=True)
     while True:
         cur = table.current()
         files = [f for f in cur.files if f["path"] not in folded] + new_files
@@ -202,11 +211,10 @@ def rewrite_small_files(table: LakeTable, target_files_per_bucket: int = 1) -> i
             return snap.version
         from aqueduct_core_spark.lake.merge import read_resolved
 
-        # resolve while rewriting (a MOR table's delta files fold into base here)
-        df = read_resolved(table, with_bucket_col=True)
-        new_files = table.write_files(
-            df.repartition(snap.n_buckets, F.col(BUCKET_COL)), snap, kind="base"
-        )
+        # resolve while rewriting (a MOR table's delta files fold into base
+        # here) — bucketed_output keeps the whole rewrite on one exchange
+        df = read_resolved(table, with_bucket_col=True, bucketed_output=True)
+        new_files = table.write_files(df, snap, kind="base", already_bucketed=True)
         nxt = Snapshot(
             version=snap.version + 1,
             current_schema_id=snap.current_schema_id,
