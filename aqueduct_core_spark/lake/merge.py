@@ -358,7 +358,7 @@ def read_resolved(
     df = table.read(
         buckets=buckets,
         version=version,
-        with_bucket_col=with_bucket_col or has_delta,
+        with_bucket_col=with_bucket_col or has_delta or bucketed_output,
         prune_ranges=None if has_delta else ranges,
     )
     if bucketed_output:
