@@ -85,18 +85,23 @@ def normalize_events(batch_df: DataFrame, physical_schema) -> DataFrame:
         return cols
 
     is_conv = F.col("entity") == F.lit("conversation")
-    main = batch_df.select(
+    main = F.struct(
         *project(
             F.when(is_conv, F.lit(CONV_SENTINEL_TURN_IDX)).otherwise(F.col("turn_idx"))
         )
     )
     # Conversation deletes additionally land on the cascade-boundary sentinel key,
     # so a later conversation re-insert (which wins the -1 row) cannot erase the
-    # boundary that older turns must still be judged against.
-    conv_deletes = batch_df.filter(is_conv & (F.col("op") == F.lit("D"))).select(
-        *project(F.lit(CONV_DELETE_SENTINEL_TURN_IDX))
+    # boundary that older turns must still be judged against. Emitted via a
+    # conditional explode rather than a filtered-union second branch: the
+    # union shape decodes the whole batch TWICE (two parquet scans of the
+    # same files — conversation deletes are scattered, so row groups never
+    # prune); the explode expands 1→2 rows inline in the single scan.
+    sentinel = F.struct(*project(F.lit(CONV_DELETE_SENTINEL_TURN_IDX)))
+    rows = F.when(is_conv & (F.col("op") == F.lit("D")), F.array(main, sentinel)).otherwise(
+        F.array(main)
     )
-    return main.unionByName(conv_deletes)
+    return batch_df.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 def lww_dedup(df: DataFrame, key_cols: Sequence[str] = KEY_COLS, salt: int = 16) -> DataFrame:

@@ -363,3 +363,24 @@ def test_merge_and_compaction_equal_oracle_after_single_exchange_path(spark, tmp
     assert live_rows(t) == oracle_rows(events)
     compact_table(t, tombstone_retention_ts=ts(0))  # keep all tombstones
     assert live_rows(t) == oracle_rows(events)
+
+
+def test_normalize_events_single_scan(spark, tmp_path):
+    """normalize_events must read its input ONCE: the conversation-delete
+    sentinel rows are emitted by a conditional explode inline in the scan,
+    not by a filtered-union second branch (which decodes every file twice —
+    conv deletes are scattered, so row-group pruning never saves the second
+    pass). Pinned on a parquet input so the scan is a real FileScan."""
+    from aqueduct_core_spark.lake.merge import normalize_events
+    from aqueduct_core_spark.plans.inspect import explain_str
+
+    events = [ev(i, conv=f"c{i % 3}", turn=i % 2, t=i) for i in range(1, 30)]
+    events.append(ev(50, "D", entity="conversation", conv="c1", turn=None, t=50))
+    events_df(spark, events).write.parquet(str(tmp_path / "feed"))
+    batch = spark.read.parquet(str(tmp_path / "feed"))
+    out = normalize_events(batch, TRANSCRIPT_PHYSICAL_SCHEMA)
+    assert explain_str(out, "simple").count("FileScan") == 1
+    # 30 events -> 30 physical rows + 1 cascade sentinel for the conv delete
+    assert out.count() == 31
+    sent = out.filter("turn_idx = -2").collect()
+    assert len(sent) == 1 and sent[0]["conv_id"] == "c1" and sent[0]["_deleted"]
