@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -133,7 +133,7 @@ def merge_change_batch(
     writer_id: str = "cdc",
     salt: int = 0,
     extra_txn: dict | None = None,
-    lineage_rows: list[dict] | None = None,
+    lineage_rows: list[dict] | Callable[[], list[dict]] | None = None,
     pipe_state: str | None = None,
     physical: bool = False,  # batch rows are ALREADY physical transcript rows
     # (sentinels, tombstones, _lsn in place) — e.g. a parent table's changelog
@@ -236,8 +236,12 @@ def merge_change_batch(
             # Lineage rides in the SAME atomic commit as the data — the reference's
             # one-transaction PipeEntity contract (messages + offsets + state,
             # SQLiteStorage.java:134-171). Watermarks are monotone per partition.
+            # A callable defers resolution to HERE (post-write, pre-commit), so
+            # a caller may compute the lineage aggregate concurrently with the
+            # merge's own write job (streaming/engine.apply_batch does).
+            resolved_lineage = lineage_rows() if callable(lineage_rows) else lineage_rows
             lineage = dict(props.get("lineage", {}))
-            for r in lineage_rows:
+            for r in resolved_lineage:
                 pid = str(r["partition_id"])
                 prev = lineage.get(pid, {}).get("high_watermark_lsn", -1)
                 lineage[pid] = {

@@ -93,6 +93,13 @@ class IngestEngine:
         self.collect_metrics = collect_metrics
         self.transform = transform
         self.metrics = IngestMetrics()
+        # one worker: foreachBatch is sequential, the pool exists only so the
+        # lineage aggregate runs as a concurrent Spark job beside the merge
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._lineage_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="lineage"
+        )
 
     # ------------------------------------------------------------------ table
     def ensure_table(self) -> LakeTable:
@@ -279,29 +286,30 @@ class IngestEngine:
         # they feed the adaptive pacer and throughput metrics.
         # routing_id is nullable in CHANGE_EVENT_SCHEMA — NULLs land in the
         # sentinel partition -1 rather than raising inside foreachBatch.
-        agg_rows = (
+        # The aggregate is its own (column-pruned) pass over the batch, so it
+        # runs CONCURRENTLY with the merge's scan+shuffle+write as a separate
+        # Spark job; merge_change_batch resolves the lazy provider only at
+        # commit-build time, by which the small agg has long finished —
+        # overlapping the lineage pass instead of paying it serially.
+        agg_fut = self._lineage_pool.submit(
             df.groupBy(F.coalesce(F.col("routing_id"), F.lit(-1)).alias("p"))
             .agg(
                 F.max("change_lsn").alias("hw"),
                 F.count(F.lit(1)).alias("n"),
                 F.max("ts").alias("mt"),
             )
-            .collect()
+            .collect
         )
-        lineage_rows = [
-            {"partition_id": int(r["p"]), "high_watermark_lsn": int(r["hw"])}
-            for r in agg_rows
-        ]
-        batch_rows = sum(int(r["n"]) for r in agg_rows)
-        batch_ts = [r["mt"] for r in agg_rows if r["mt"] is not None]
-        if batch_ts:
-            newest = max(batch_ts)
-            if self.metrics.last_event_ts is None or newest > self.metrics.last_event_ts:
-                self.metrics.last_event_ts = newest
-        self.metrics.events_seen += batch_rows
-        self.metrics.per_batch_rows.append(batch_rows)
+
+        def lineage_rows():
+            return [
+                {"partition_id": int(r["p"]), "high_watermark_lsn": int(r["hw"])}
+                for r in agg_fut.result()
+            ]
+
         if self.fail_after_batches is not None and batch_id >= self.fail_after_batches:
             if self.fail_point == "before_commit":
+                agg_fut.result()  # don't leak a running job into the crash
                 raise RuntimeError(f"injected crash before commit of batch {batch_id}")
 
         result = merge_change_batch(
@@ -313,6 +321,15 @@ class IngestEngine:
             lineage_rows=lineage_rows,
             pipe_state="OUT_OF_DATE",
         )
+        agg_rows = agg_fut.result()
+        batch_rows = sum(int(r["n"]) for r in agg_rows)
+        batch_ts = [r["mt"] for r in agg_rows if r["mt"] is not None]
+        if batch_ts:
+            newest = max(batch_ts)
+            if self.metrics.last_event_ts is None or newest > self.metrics.last_event_ts:
+                self.metrics.last_event_ts = newest
+        self.metrics.events_seen += batch_rows
+        self.metrics.per_batch_rows.append(batch_rows)
 
         if self.fail_after_batches is not None and batch_id >= self.fail_after_batches:
             # crash AFTER the lake commit but BEFORE Spark checkpoints the batch:
