@@ -67,6 +67,20 @@ def build_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("aqueduct-bench")
+        # Shuffle blocks + spills go to tmpfs, not the shared virtual disk:
+        # the feed and the sink already live in tmpfs (so storage I/O doesn't
+        # dominate the compute-scaling comparison), but spark.local.dir
+        # defaults to /tmp on /dev/vda — the co-tenant-contended device. A
+        # 16-thread leg saturates it while a 4-thread leg does not, which
+        # CAPS measured N->4N scaling below the code's actual behavior. On a
+        # real cluster this is the executor-local NVMe shuffle dir.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "AQ_BENCH_LOCAL_DIR",
+                "/dev/shm/aq_spark_local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
