@@ -513,6 +513,20 @@ def q_ann_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_ann_neardup_lsh_auto(spark, sf_dir):
+    """Production path of q_ann_neardup_lsh: nbits/n_tables are AUTO-SIZED
+    in-engine from a cheap corpus count (auto_lsh_size: nbits =
+    max(8, ceil(log2(n/32))), one extra table per extra bit). At sf0.01 the
+    500-vector corpus resolves to exactly the pinned (nbits=8, n_tables=4),
+    so the same constant-embedding DuckDB twin gates the auto path
+    hash-exact; at sf1 scale the auto path picks more buckets and stays
+    near-linear (tests/test_similarity_autosize.py proves output equality
+    with strictly fewer candidate pairs)."""
+    _conf(spark)
+    emb = _t("embeddings")(spark, sf_dir)
+    return ann_neardup_pairs(emb, dim=64, threshold=NEARDUP_T, seed=42)
+
+
 def q_dataset_user_history(spark, sf_dir):
     """Conversation-pack analog on the events log: each user's event-type
     history concatenated in LSN order (stable-ordering aggregation — the same
@@ -651,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_neardup_lsh": q_ann_neardup_lsh,
+        "ann_neardup_lsh_auto": q_ann_neardup_lsh_auto,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "multimodal_features": q_multimodal_features,
@@ -1002,6 +1017,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_pairs_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "ann_neardup_lsh": _ann_lsh_sql(),
+        # auto-sized path: at sf0.01 (500 vectors) auto_lsh_size resolves to
+        # the pinned (nbits=8, n_tables=4), so the same constant twin applies
+        "ann_neardup_lsh_auto": _ann_lsh_sql(),
         "ann_ivf_topk": f"""
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, {_cos_sql('embedding', '(SELECT qe FROM q)')} AS cosine

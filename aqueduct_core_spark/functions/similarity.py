@@ -11,6 +11,8 @@ Two tiers, as a 100 TB pipeline needs:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -101,30 +103,47 @@ def lsh_bucket_ids(dim: int, nbits: int = 16, seed: int = 42, n_tables: int = 1)
     return bucket
 
 
-def ann_neardup_pairs(
+def auto_lsh_size(
+    n: int,
+    target_bucket: int = 32,
+    base_nbits: int = 8,
+    base_tables: int = 4,
+) -> tuple[int, int]:
+    """In-engine default sizing for hyperplane LSH (the PLANS.md rule made
+    code, like ``fat_bucket_cap`` / ``max_doc_freq`` are for the dedup ops):
+
+      nbits    = max(base_nbits, ceil(log2(n / target_bucket)))
+      n_tables = base_tables + (nbits - base_nbits)
+
+    With nbits fixed, bucket occupancy grows linearly with the corpus and
+    candidate-pair volume quadratically; keeping expected occupancy at
+    ~target_bucket keeps candidate work near-linear in n. Each extra bit
+    halves occupancy but costs recall one factor of p_bit per table; one
+    extra table per extra bit more than restores it in the near-dup regime
+    (pairs of interest sit far above threshold, p_bit ≈ 1), measured at sf1:
+    nbits 8→11 at identical output, 2.9x faster (PLANS.md)."""
+    nbits = max(base_nbits, math.ceil(math.log2(max(int(n), 1) / target_bucket)))
+    return nbits, base_tables + (nbits - base_nbits)
+
+
+def _candidate_pairs(
     df: DataFrame,
     dim: int,
-    threshold: float = 0.95,
-    nbits: int = 12,
-    seed: int = 42,
-    n_tables: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    nbits: int,
+    seed: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate near-dup pairs: multi-table LSH bucketing, candidate pairs
-    only within a (table, bucket) group, verified with exact cosine. Recall
-    < 1 by construction (scale path) — raise n_tables to raise recall; the
-    emitted set is a deterministic function of (data, dim, nbits, n_tables,
-    seed), which the DuckDB oracle twin reproduces from the same hyperplane
-    constants (lsh_hyperplanes)."""
+    """LSH candidate generation: bucket every vector in every table, pair ids
+    that share a (table, bucket) cell. The bucket table is narrow (id + T
+    longs); vectors never enter the self-join."""
     bucket = lsh_bucket_ids(dim, nbits, seed, n_tables)
-    # bucket table is narrow (id + T longs); vectors stay in their own
-    # projection and only candidate pairs rejoin them for verification
     buckets = df.select(
         F.col(id_col).alias("id"), bucket(F.col(vec_col)).alias("_bks")
     ).select("id", F.posexplode("_bks").alias("tbl", "bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -134,6 +153,37 @@ def ann_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ann_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int | None = None,
+    seed: int = 42,
+    n_tables: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: multi-table LSH bucketing, candidate pairs
+    only within a (table, bucket) group, verified with exact cosine. Recall
+    < 1 by construction (scale path) — raise n_tables to raise recall; the
+    emitted set is a deterministic function of (data, dim, nbits, n_tables,
+    seed), which the DuckDB oracle twin reproduces from the same hyperplane
+    constants (lsh_hyperplanes).
+
+    By default (nbits=None) the bucket count is AUTO-SIZED from a cheap
+    corpus count via auto_lsh_size — callers no longer need the PLANS.md
+    sizing rule to avoid quadratic candidate growth at scale. Pass explicit
+    nbits/n_tables to pin the bucketing (the contract query does, so its
+    oracle twin can embed the same constants)."""
+    if nbits is None:
+        nbits, auto_tables = auto_lsh_size(df.select(id_col).count())
+        if n_tables is None:
+            n_tables = auto_tables
+    elif n_tables is None:
+        n_tables = 1
+    cand = _candidate_pairs(df, dim, nbits, seed, n_tables, id_col, vec_col)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb"))
     return (
