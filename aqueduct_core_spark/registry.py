@@ -139,11 +139,12 @@ class PersistentNodeRegistry:
     restart: a fresh object over the same root reconstructs identical state.
     """
 
-    def __init__(self, root: str, cloud_url: str):
+    def __init__(self, root: str, cloud_url: str, keep_versions: int | None = 64):
         from aqueduct_core_spark.lake.fsio import get_fs
 
         self.root = root
         self.cloud_url = cloud_url
+        self.keep_versions = keep_versions
         self._fs = get_fs()
         self._fs.makedirs(root)
 
@@ -159,14 +160,41 @@ class PersistentNodeRegistry:
         )
 
     def version(self) -> int:
-        vs = self._versions()
-        return vs[-1] if vs else 0
+        # max over the listing, not a sort — the directory is bounded by
+        # retention but version() is on every read path
+        return max(self._versions(), default=0)
+
+    def expire_versions(self, keep_last: int = 64) -> int:
+        """Delete version documents older than the newest `keep_last`
+        (keep_last >= 1; the current version is never deleted). The lake-table
+        analog of expire_snapshots, and the registry's answer to the reference
+        keeping ONE row per group (PostgresNodeGroupStorage.java:124-126)
+        rather than a row per mutation. Safe under concurrent writers: commits
+        only ever create NEW higher versions, so deleting the old tail cannot
+        race a CAS; a concurrent expirer at worst double-deletes (missing_ok).
+        Returns the number of documents removed."""
+        keep_last = max(1, int(keep_last))
+        stale = self._versions()[:-keep_last]
+        for v in stale:
+            try:
+                self._fs.remove(self._path(v))
+            except FileNotFoundError:
+                pass  # concurrent expirer got there first
+        return len(stale)
 
     def _load(self) -> tuple[int, dict[str, NodeGroup]]:
-        v = self.version()
-        if v == 0:
-            return 0, {}
-        doc = json.loads(self._fs.read_text(self._path(v)))
+        while True:
+            v = self.version()
+            if v == 0:
+                return 0, {}
+            try:
+                doc = json.loads(self._fs.read_text(self._path(v)))
+                break
+            except FileNotFoundError:
+                # v was expired between the listing and the read (only possible
+                # if keep_versions newer commits landed in that window) —
+                # re-list and read the new latest
+                continue
         groups: dict[str, NodeGroup] = {}
         for name, g in doc["groups"].items():
             ng = NodeGroup(g["cloud_url"])
@@ -208,6 +236,10 @@ class PersistentNodeRegistry:
             g = groups.setdefault(group, NodeGroup(self.cloud_url))
             result = fn(g)
             if self._try_commit(v + 1, groups):
+                if self.keep_versions is not None and (v + 1) % 16 == 0:
+                    # amortized auto-retention: bound the directory without
+                    # paying a delete sweep on every mutation
+                    self.expire_versions(self.keep_versions)
                 return result
 
     # ------------------------------------------------------------ operations

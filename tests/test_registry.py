@@ -152,3 +152,38 @@ def test_persistent_registry_version_conflict_retries(tmp_path):
     # both writers' nodes survive; the loser re-applied after re-reading
     assert hosts == ["a0", "b0", "a1"]
     assert a.version() == 3
+
+
+def test_persistent_registry_version_retention(tmp_path):
+    """1000 mutations must not leave 1000 version documents behind: amortized
+    auto-retention bounds the directory (the reference keeps ONE row per
+    group, PostgresNodeGroupStorage.java:124-126), explicit expire_versions
+    tightens it further, the current version always survives, and CAS stays
+    correct under a concurrent writer racing mid-stream."""
+    from aqueduct_core_spark.registry import PersistentNodeRegistry, RegistryNode
+
+    root = str(tmp_path / "reg")
+    a = PersistentNodeRegistry(root, cloud_url="c://", keep_versions=64)
+    b = PersistentNodeRegistry(root, cloud_url="c://", keep_versions=64)
+    for i in range(1000):
+        a.register("g", RegistryNode(host=f"h{i % 37}", local_url=f"u{i}", last_seen=float(i)))
+        if i % 250 == 100:  # concurrent writer interleaves
+            b.register("g", RegistryNode(host=f"b{i}", local_url=f"bu{i}", last_seen=float(i)))
+
+    import os
+
+    docs = [f for f in os.listdir(root) if f.endswith(".json")]
+    assert len(docs) <= 64 + 16  # bounded: keep_versions + amortization slack
+    v = a.version()
+    assert v == 1004  # 1000 + 4 concurrent commits, none lost
+
+    removed = a.expire_versions(keep_last=1)
+    assert removed == len(docs) - 1
+    assert [f for f in os.listdir(root) if f.endswith(".json")] == [f"v{v:010d}.json"]
+
+    # state fully intact from the single surviving document, CAS continues
+    reborn = PersistentNodeRegistry(root, cloud_url="c://")
+    assert reborn.version() == v
+    assert len(reborn.get_group("g").nodes) == 37 + 4
+    reborn.register("g", RegistryNode(host="after", local_url="ua", last_seen=9.9))
+    assert reborn.version() == v + 1
