@@ -146,22 +146,105 @@ def compact_bucket_range(
 
 
 def balance_bucket_ranges(
-    rows_by_bucket: dict[int, int], n_buckets: int, n_jobs: int
+    rows_by_bucket: dict[int, int],
+    n_buckets: int,
+    n_jobs: int,
+    buckets: list[int] | None = None,
 ) -> list[list[int]]:
     """Split buckets into n_jobs disjoint sets with near-equal row volume:
     greedy LPT (heaviest bucket to the currently-lightest job). Deterministic;
     buckets with unknown volume weigh 0 and spread round-robin by the
     tiebreak. At cluster scale this keeps one hot bucket from serializing a
-    whole maintenance wave behind it."""
-    n_jobs = max(1, min(n_jobs, n_buckets))
+    whole maintenance wave behind it. `buckets` restricts the split to a
+    subset (the policy-triggered path compacts only over-threshold buckets)."""
+    universe = sorted(set(buckets)) if buckets is not None else list(range(n_buckets))
+    n_jobs = max(1, min(n_jobs, len(universe) or 1))
     loads = [0] * n_jobs
     jobs: list[list[int]] = [[] for _ in range(n_jobs)]
-    order = sorted(range(n_buckets), key=lambda b: (-rows_by_bucket.get(b, 0), b))
+    order = sorted(universe, key=lambda b: (-rows_by_bucket.get(b, 0), b))
     for b in order:
         j = min(range(n_jobs), key=lambda i: (loads[i], len(jobs[i]), i))
         jobs[j].append(b)
         loads[j] += rows_by_bucket.get(b, 0)
     return [sorted(j) for j in jobs if j]
+
+
+@dataclass(frozen=True)
+class CompactionPolicy:
+    """Data-driven compaction trigger thresholds (the reference's hourly
+    CompactionTask cron, CompactionTask.java:40-47, made manifest-stat-driven:
+    compact when the observed MOR read debt crosses a line, not when a clock
+    fires). The MOR curve (BENCH_MOR_CURVE.md) shows read cost is O(delta
+    files), so the primary knob is delta-file count per bucket; the row
+    threshold additionally catches few-but-huge deltas."""
+
+    max_delta_files_per_bucket: int = 8
+    max_delta_rows_per_bucket: int | None = None
+    n_jobs: int = 4
+
+
+def delta_pressure(snap: Snapshot) -> dict[int, tuple[int, int]]:
+    """Per-bucket MOR debt from manifest stats alone (no data scan):
+    bucket -> (delta_file_count, delta_rows). Stat-less files count 1 row."""
+    out: dict[int, tuple[int, int]] = {}
+    for f in snap.files:
+        if f.get("kind") != "delta":
+            continue
+        n, r = out.get(f["bucket"], (0, 0))
+        out[f["bucket"]] = (n + 1, r + (f.get("rows") or 1))
+    return out
+
+
+def buckets_over_threshold(snap: Snapshot, policy: CompactionPolicy) -> list[int]:
+    hot = []
+    for b, (n_files, n_rows) in delta_pressure(snap).items():
+        if n_files > policy.max_delta_files_per_bucket or (
+            policy.max_delta_rows_per_bucket is not None
+            and n_rows > policy.max_delta_rows_per_bucket
+        ):
+            hot.append(b)
+    return sorted(hot)
+
+
+def maybe_compact(
+    table: LakeTable,
+    policy: CompactionPolicy,
+    tombstone_retention_ts=None,
+) -> list[CompactionStats]:
+    """Self-tuning compaction: fold deltas in exactly the buckets whose
+    manifest-recorded delta debt exceeds the policy, as load-balanced
+    independent range jobs. No-op (and no Spark job) when every bucket is
+    under threshold — cheap enough to call after every ingest commit.
+
+    With tombstone_retention_ts=None no tombstone is dropped: the auto path
+    only folds deltas to cap MOR read cost; tombstone GC stays an explicit
+    maintenance decision with a real retention horizon (compact_table)."""
+    snap = table.current()
+    hot = buckets_over_threshold(snap, policy)
+    if not hot:
+        return []
+    if tombstone_retention_ts is None:
+        tombstone_retention_ts = "1970-01-01 00:00:00"  # keeps every tombstone
+    rows_by_bucket: dict[int, int] = {}
+    for f in snap.files:
+        if f["bucket"] in set(hot):
+            rows_by_bucket[f["bucket"]] = rows_by_bucket.get(f["bucket"], 0) + (
+                f.get("rows") or 1
+            )
+    ranges = balance_bucket_ranges(
+        rows_by_bucket, snap.n_buckets, policy.n_jobs, buckets=hot
+    )
+    if len(ranges) == 1:
+        return [compact_bucket_range(table, tombstone_retention_ts, ranges[0])]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(ranges)) as ex:
+        return list(
+            ex.map(
+                lambda r: compact_bucket_range(table, tombstone_retention_ts, r),
+                ranges,
+            )
+        )
 
 
 def compact_table_parallel(

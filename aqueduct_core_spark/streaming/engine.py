@@ -72,6 +72,10 @@ class IngestEngine:
         transform=None,  # (DataFrame -> DataFrame) payload transform, e.g.
         # functions.transforms.normalize_payload — Arrow-vectorized, applied
         # before dedup/merge (the engine's pandas-UDF extension point)
+        compaction_policy=None,  # maintenance.CompactionPolicy: after each
+        # commit, fold delta files in any bucket whose manifest-recorded MOR
+        # debt exceeds the policy (self-tuning CompactionTask — data-driven,
+        # not cron). None = never auto-compact (caller-scheduled maintenance).
     ):
         self.spark = spark
         self.table_root = table_root
@@ -92,6 +96,8 @@ class IngestEngine:
         self.fail_point = fail_point
         self.collect_metrics = collect_metrics
         self.transform = transform
+        self.compaction_policy = compaction_policy
+        self.compactions_triggered = 0
         self.metrics = IngestMetrics()
         # one worker: foreachBatch is sequential, the pool exists only so the
         # lineage aggregate runs as a concurrent Spark job beside the merge
@@ -100,6 +106,16 @@ class IngestEngine:
         self._lineage_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="lineage"
         )
+
+    def close(self) -> None:
+        """Release the lineage pool thread. Idempotent."""
+        self._lineage_pool.shutdown(wait=False, cancel_futures=True)
+
+    def __del__(self):  # best-effort backstop; close() is the real contract
+        try:
+            self._lineage_pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------ table
     def ensure_table(self) -> LakeTable:
@@ -312,15 +328,24 @@ class IngestEngine:
                 agg_fut.result()  # don't leak a running job into the crash
                 raise RuntimeError(f"injected crash before commit of batch {batch_id}")
 
-        result = merge_change_batch(
-            table,
-            df,
-            batch_id=batch_id,
-            writer_id=self.writer_id,
-            salt=self.salt,
-            lineage_rows=lineage_rows,
-            pipe_state="OUT_OF_DATE",
-        )
+        try:
+            result = merge_change_batch(
+                table,
+                df,
+                batch_id=batch_id,
+                writer_id=self.writer_id,
+                salt=self.salt,
+                lineage_rows=lineage_rows,
+                pipe_state="OUT_OF_DATE",
+            )
+        except BaseException:
+            # a failed merge must not leak the concurrent lineage job:
+            # await it (suppressing its own error) before re-raising
+            try:
+                agg_fut.result()
+            except Exception:
+                pass
+            raise
         agg_rows = agg_fut.result()
         batch_rows = sum(int(r["n"]) for r in agg_rows)
         batch_ts = [r["mt"] for r in agg_rows if r["mt"] is not None]
@@ -341,6 +366,15 @@ class IngestEngine:
         else:
             self.metrics.batches_applied += 1
         self.metrics.last_batch_id = batch_id
+
+        if self.compaction_policy is not None and not result.skipped:
+            # self-tuning delta-fold: manifest stats decide, per bucket —
+            # a no-op (pure driver-side check) while debt is under threshold
+            from aqueduct_core_spark.maintenance import maybe_compact
+
+            self.compactions_triggered += len(
+                maybe_compact(table, self.compaction_policy)
+            )
 
     # ------------------------------------------------------------------ run
     def run(
