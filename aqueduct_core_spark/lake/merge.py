@@ -417,6 +417,19 @@ def read_changes(
     a manifest inside the interval was expired (`expire_snapshots`): retention
     bounds how far back a consumer may resume, same as the reference's
     compacted-away offsets."""
+    added, until_snap = changed_entries(table, since_version, until_version)
+    return table.read_entries(added, until_snap)
+
+
+def changed_entries(
+    table: LakeTable, since_version: int, until_version: int | None = None
+):
+    """Manifest-only half of read_changes: the delta file entries first
+    referenced by each version in (since_version, until_version], plus the
+    interval's end snapshot. Pure metadata (an O(commits) manifest walk) —
+    also the basis of consumer lag gauges (rows-behind from the entries'
+    footer row counts, no data scan). Raises ValueError exactly like
+    read_changes (COW table / empty interval / expired manifests)."""
     cur = table.current()
     until_version = cur.version if until_version is None else until_version
     if cur.properties.get("merge_mode", "cow") != "mor":
@@ -438,4 +451,4 @@ def read_changes(
             if f["path"] not in seen and f.get("kind", "base") == "delta":
                 added.append(f)
         seen |= {f["path"] for f in snap.files}
-    return table.read_entries(added, table.snapshot_at(until_version))
+    return added, table.snapshot_at(until_version)

@@ -31,6 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 
 from aqueduct_core_spark.lake.merge import (
+    changed_entries,
     merge_change_batch,
     read_changes,
     read_resolved,
@@ -45,6 +46,27 @@ class SyncResult:
     parent_version: int
     since_version: int
     bootstrapped: bool = False  # interval expired -> full-snapshot fallback
+
+
+@dataclass
+class ChainLag:
+    """Per-child consumer lag — the chained-pipe form of the reference's
+    offset lag the registry reports per node (NodeRegistryControllerV2
+    surfaces each node's last-seen offset against the pipe head; here the
+    parent's snapshot version is the offset). rows_behind comes from the
+    manifest walk's footer row counts — a pure metadata gauge, no data scan;
+    it is None when the missing interval fell past the parent's snapshot
+    retention (lag is then unquantifiable and a bootstrap is required)."""
+
+    parent_version: int
+    applied_version: int
+    versions_behind: int
+    rows_behind: int | None
+    bootstrap_required: bool = False
+
+    @property
+    def caught_up(self) -> bool:
+        return self.versions_behind == 0
 
 
 class ChainedConsumer:
@@ -79,6 +101,27 @@ class ChainedConsumer:
             n_buckets=self.n_buckets,
             properties={"merge_mode": self.merge_mode},
         )
+
+    def applied_version(self) -> int:
+        """Last parent snapshot version this child has applied (1 = fresh
+        child: parent version 1 is table creation, no files)."""
+        if not LakeTable.exists(self.table_root):
+            return 1
+        return LakeTable(self.spark, self.table_root).current().txn.get(self.writer_id, 1)
+
+    def lag(self) -> ChainLag:
+        """Gauge how far this child trails its parent, without syncing."""
+        parent = LakeTable(self.spark, self.parent_root)
+        pv = parent.current().version
+        last = self.applied_version()
+        behind = max(0, pv - last)
+        if behind == 0:
+            return ChainLag(pv, last, 0, 0)
+        try:
+            added, _snap = changed_entries(parent, last, pv)
+        except ValueError:
+            return ChainLag(pv, last, behind, None, bootstrap_required=True)
+        return ChainLag(pv, last, behind, sum(f.get("rows") or 0 for f in added))
 
     def sync_once(self) -> SyncResult:
         """Apply everything the parent committed since the last sync. No-op

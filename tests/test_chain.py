@@ -135,3 +135,69 @@ def test_widen_only_evolution_follows_down_the_chain(spark, tmp_path):
     child_types = {f.name: f.dataType for f in child_t.current().schema().fields}
     assert isinstance(child_types["turn_idx"], LongType)
     assert visible(child_t) == visible(parent)
+
+
+def test_fanout_tree_lag_gauges_and_midstream_bootstrap(spark, tmp_path):
+    """Fan-out TREE, not a chain: parent feeds two children at different
+    cadences, a grandchild tails child A. Child B falls past the parent's
+    snapshot retention MID-STREAM and bootstraps, then resumes incremental
+    tailing. Lag gauges (versions-behind / rows-behind, the reference's
+    per-node offset lag in NodeRegistryControllerV2) are asserted against the
+    manifest ground truth throughout, and every node ends oracle-equal."""
+    events = feed_events(360, seed=13)
+    p_root, a_root, b_root, g_root = (str(tmp_path / n) for n in "pabg")
+    parent = make_parent(spark, p_root)
+    a = ChainedConsumer(spark, p_root, a_root, writer_id="childA")
+    b = ChainedConsumer(spark, p_root, b_root, writer_id="childB")
+    g = ChainedConsumer(spark, a_root, g_root, writer_id="grand")
+
+    batches = [events[i : i + 40] for i in range(0, 360, 40)]  # 9 parent commits
+    a_results, b_results = [], []
+    for i, batch in enumerate(batches):
+        merge_change_batch(parent, events_df(spark, batch), batch_id=i)
+        if i == 4:
+            # B has never synced: behind every data commit, lag quantified
+            # from manifests alone and equal to the live delta row total
+            lag_b = b.lag()
+            assert lag_b.versions_behind == 5 and not lag_b.bootstrap_required
+            delta_rows = sum(
+                f.get("rows") or 0
+                for f in parent.current().files
+                if f.get("kind") == "delta"
+            )
+            assert lag_b.rows_behind == delta_rows > 0
+        if i % 2 == 0:
+            lag_a = a.lag()
+            assert 0 < lag_a.versions_behind <= 2
+            assert 0 < lag_a.rows_behind <= 2 * 40  # dedup only shrinks batches
+            a_results.append(a.sync_once())
+            assert a.lag().caught_up
+        if i % 4 == 0:
+            g.sync_once()
+        if i == 5:
+            # retention passes B by (keep A's resume window alive)
+            parent.expire_snapshots(keep_last=2)
+            lag_b = b.lag()
+            assert lag_b.bootstrap_required and lag_b.rows_behind is None
+            assert lag_b.versions_behind == 6
+            r = b.sync_once()
+            assert r.applied and r.bootstrapped
+            b_results.append(r)
+        elif i > 5:
+            b_results.append(b.sync_once())  # incremental again post-bootstrap
+
+    a_results += a.run_until_caught_up()
+    g.run_until_caught_up()
+    b_results += b.run_until_caught_up()
+    assert not any(r.bootstrapped for r in a_results)  # A tailed incrementally
+    assert sum(r.bootstrapped for r in b_results) == 1  # B bootstrapped once
+    for c in (a, b, g):
+        assert c.lag().caught_up and c.lag().rows_behind == 0
+
+    expected = [
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in replay(events)
+    ]
+    assert visible(parent) == expected
+    for root in (a_root, b_root, g_root):
+        assert visible(LakeTable(spark, root)) == expected
