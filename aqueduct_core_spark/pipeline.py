@@ -164,11 +164,27 @@ def _refined_bounds(
     return bounds, stats
 
 
+def effective_shard_budget(total_tokens: int, tokens_per_shard: int) -> int:
+    """Shard-boundary hint from corpus totals: the budget that splits
+    total_tokens into the whole number of shards CLOSEST to the requested
+    size, so no runt last shard. floor(cumsum/budget) with the literal budget
+    leaves a final shard holding total % budget tokens — anywhere in
+    (0, budget], i.e. up to -100% off target; with the rounded budget every
+    shard (including the last) lands within ±(max_doc + budget/n_shards/2)
+    of the requested size."""
+    total = max(0, int(total_tokens))
+    n_shards = max(1, round(total / max(1, tokens_per_shard)))
+    import math
+
+    return max(1, math.ceil(total / n_shards))
+
+
 def plan_shards(
     df: DataFrame,
     tokens_per_shard: int,
     order_col: str = "conv_id",
     n_chunks: int | None = None,
+    balance: bool = False,
 ) -> DataFrame:
     """Deterministic token-budgeted shard assignment: running token sum in a
     stable order, shard_id = floor((cumsum - n) / budget).
@@ -184,15 +200,42 @@ def plan_shards(
     Identical output to plan_shards_single for any input (asserted in
     tests/test_pipeline.py); scales as max(chunk) not sum(corpus). The same
     two-phase shape as the reference's two-level read
-    (PostgresqlStorage.java:446-467)."""
+    (PostgresqlStorage.java:446-467).
+
+    balance=True re-derives shard boundaries from the corpus token total the
+    refinement stats already carry (zero extra scans): boundary k at offset
+    k*total/n_shards in exact integer math, so EVERY shard — the last one
+    included — lands within one document of total/n_shards, instead of the
+    literal-budget floor leaving a runt last shard of total % budget tokens
+    (up to -100% off target). Off by default because the emitted shard_id is
+    a pinned deterministic contract (the DuckDB oracle twin embeds the
+    literal budget)."""
     if n_chunks is None:
         n_chunks = df.sparkSession.sparkContext.defaultParallelism
     bounds, stats = _refined_bounds(df, order_col, n_chunks)
     if not bounds:
+        if balance:
+            total = df.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            tokens_per_shard = effective_shard_budget(total, tokens_per_shard)
         return plan_shards_single(df, tokens_per_shard, order_col)
     chunked = df.withColumn("_chunk", _chunk_expr(order_col, bounds))
 
     totals = {c: tot for c, (tot, _n) in stats.items()}
+    balance_exact = None
+    if balance:
+        # shard sizing rides the refinement's existing aggregate — the stats
+        # ARE the corpus total, so the hint costs nothing at plan time.
+        # Exact form: boundary k sits at token offset k*total/n_shards, i.e.
+        # shard_id = start_offset * n_shards div total — integer math, so the
+        # remainder spreads one document at a time across shards instead of
+        # accumulating into a runt last shard (a single rounded budget still
+        # drifts by n_shards/2 tokens by the end of the corpus).
+        total = sum(int(t or 0) for t in totals.values())
+        n_shards = max(1, round(total / max(1, tokens_per_shard)))
+        if 0 < total * n_shards < (1 << 62):  # start*n provably in long range
+            balance_exact = (n_shards, total)
+        else:
+            tokens_per_shard = effective_shard_budget(total, tokens_per_shard)
     running, offsets = 0, {}
     for c in sorted(totals):
         offsets[c] = running
@@ -207,9 +250,16 @@ def plan_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cumsum = off_map[F.col("_chunk")] + F.sum("n_tokens").over(w)
+    start = cumsum - F.col("n_tokens")
+    if balance_exact is not None:
+        n_shards, total = balance_exact
+        return (
+            chunked.withColumn("_sxn", (start * F.lit(n_shards)).cast("long"))
+            .withColumn("shard_id", F.expr(f"cast(_sxn div {total} as int)"))
+            .drop("_sxn", "_chunk")
+        )
     return chunked.withColumn(
-        "shard_id",
-        F.floor((cumsum - F.col("n_tokens")) / F.lit(tokens_per_shard)).cast("int"),
+        "shard_id", F.floor(start / F.lit(tokens_per_shard)).cast("int")
     ).drop("_chunk")
 
 

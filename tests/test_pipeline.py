@@ -158,3 +158,47 @@ def test_plan_shards_heavy_hitter_guard(spark):
         for r in plan_shards_single(df, tokens_per_shard=100).collect()
     )
     assert out == single
+
+
+def test_plan_shards_balance_no_runt_last_shard(spark):
+    """balance=True wires the refinement stats' corpus token total into shard
+    sizing: boundaries at k*total/n_shards in exact integer math. Under the
+    heavy-hitter skew corpus every shard — including the LAST — stays within
+    +/-10% of the requested budget, where the literal-budget default leaves a
+    -69% runt; and the balanced assignment equals an exact driver-side
+    reference computation on a varied-size corpus."""
+    rows = [("hot", 10)] * 600 + [(f"k{i:04d}", 10) for i in range(600)]
+    df = spark.createDataFrame(rows, "conv_id string, n_tokens int")
+
+    def shard_tokens(collected):
+        out = {}
+        for r in collected:
+            out[r["shard_id"]] = out.get(r["shard_id"], 0) + r["n_tokens"]
+        return out
+
+    base = shard_tokens(plan_shards(df, 130, n_chunks=16).collect())
+    assert min(base.values()) == 40  # the runt: 12000 % 130 — what balance fixes
+
+    bal = shard_tokens(plan_shards(df, 130, n_chunks=16, balance=True).collect())
+    assert sorted(bal) == list(range(len(bal)))  # contiguous shard ids
+    assert len(bal) == 92  # round(12000 / 130)
+    assert all(abs(tok - 130) <= 13 for tok in bal.values()), bal  # +/-10%, last incl.
+
+    # varied doc sizes, distinct keys: balanced output == exact reference
+    vrows = [(f"c{i:04d}", (i * 37) % 40 + 1) for i in range(500)]
+    vdf = spark.createDataFrame(vrows, "conv_id string, n_tokens int")
+    got = {
+        r["conv_id"]: r["shard_id"]
+        for r in plan_shards(vdf, 700, n_chunks=8, balance=True).collect()
+    }
+    total = sum(t for _, t in vrows)
+    n_shards = max(1, round(total / 700))
+    start, expect = 0, {}
+    for k, t in sorted(vrows):
+        expect[k] = (start * n_shards) // total
+        start += t
+    assert got == expect
+    vtok = {}
+    for k, t in sorted(vrows):
+        vtok[expect[k]] = vtok.get(expect[k], 0) + t
+    assert all(abs(tok - 700) <= 70 for tok in vtok.values()), vtok
