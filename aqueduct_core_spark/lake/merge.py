@@ -362,6 +362,8 @@ def read_resolved(
     needed LWW resolution grouped by (bucket, key) so the whole read-resolve
     costs ONE exchange — for writers (compaction, COW rewrites) that will
     land the result via write_files(already_bucketed=True)."""
+    if bucketed_output:
+        with_bucket_col = True  # the bucketed contract includes the column
     snap = table.current() if version is None else table.snapshot_at(version)
     has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
     df = table.read(
@@ -374,14 +376,19 @@ def read_resolved(
         df = df.repartition(table.write_parallelism(snap), F.col(BUCKET_COL))
         out = resolve_lww(df, group_prefix=(BUCKET_COL,)) if has_delta else df
     elif has_delta:
-        # Plain reads resolve on the same single-exchange plan as writers:
-        # one repartition by the (derivable-at-read) bucket column, then the
-        # LWW aggregation AND the cascade window ride that partitioning.
+        # Plain reads resolve on the same single-exchange plan as writers,
+        # but partitioned by (bucket, conv_id): HashPartitioning on that pair
+        # still satisfies both the LWW aggregation's ClusteredDistribution
+        # (subset of (bucket, conv_id, turn_idx)) and the cascade window's
+        # (exactly (bucket, conv_id)), so the read keeps ONE exchange while
+        # its parallelism scales with key cardinality, not n_buckets — one
+        # hot bucket no longer serializes into one task. Only the write path
+        # must partition by bucket alone (it must match the file layout).
         # Partition count deliberately unpinned — spark.sql.shuffle.partitions
-        # (and AQE coalescing) size the read, unlike the write path which must
-        # match the table's file layout.
+        # (and AQE coalescing) size the read.
         out = resolve_lww(
-            df.repartition(F.col(BUCKET_COL)), group_prefix=(BUCKET_COL,)
+            df.repartition(F.col(BUCKET_COL), F.col("conv_id")),
+            group_prefix=(BUCKET_COL,),
         )
         if not with_bucket_col:
             out = out.drop(BUCKET_COL)

@@ -61,6 +61,21 @@ def effective_cpus(requested: int) -> int:
     return best
 
 
+def _default_local_dir(min_free_bytes: int = 8 << 30) -> str:
+    """tmpfs shuffle dir, guarded: /dev/shm is RAM-backed, so falling below
+    the expected shuffle footprint must fall back to disk rather than OOM the
+    box mid-leg (sf0.1 suite shuffle footprint is well under 8 GiB; scaling
+    legs override via AQ_BENCH_LOCAL_DIR if they need more)."""
+    try:
+        import shutil as _sh
+
+        if os.path.isdir("/dev/shm") and _sh.disk_usage("/dev/shm").free >= min_free_bytes:
+            return "/dev/shm/aq_spark_local"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -73,13 +88,11 @@ def build_spark(cpus: int):
         # defaults to /tmp on /dev/vda — the co-tenant-contended device. A
         # 16-thread leg saturates it while a 4-thread leg does not, which
         # CAPS measured N->4N scaling below the code's actual behavior. On a
-        # real cluster this is the executor-local NVMe shuffle dir.
+        # real cluster this is the executor-local NVMe shuffle dir. Guarded:
+        # see _default_local_dir (falls back to /tmp when /dev/shm is tight).
         .config(
             "spark.local.dir",
-            os.environ.get(
-                "AQ_BENCH_LOCAL_DIR",
-                "/dev/shm/aq_spark_local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
+            os.environ.get("AQ_BENCH_LOCAL_DIR", _default_local_dir()),
         )
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")

@@ -263,15 +263,17 @@ def test_time_travel_and_expire(spark, tmp_table_dir):
     assert read_transcripts(t).count() == 0
 
 
-def test_resolve_lww_tombstone_join_not_forced_broadcast(spark):
+def test_resolve_lww_no_tombstone_join_and_sweep_not_broadcast(spark):
     """The conversation-tombstone dimension is unbounded on the MOR read path
-    (every conv-delete sentinel since last compaction) — the cascade join must
-    not carry a forced broadcast hint. With the broadcast thresholds disabled
-    (simulating a build side too large to broadcast) the join must plan as a
-    non-broadcast join; a F.broadcast() hint would override the threshold and
-    keep BroadcastHashJoin in the plan. Same check for mark-and-sweep's
-    aged-tombstone dimension (reference runs both server-side with no size
-    assumption, PostgresqlStorage.java:473-488)."""
+    (every conv-delete sentinel since last compaction). Since r3 the cascade
+    is a window max riding the grouping partitioning, so resolve_lww must
+    plan NO join operator at all — the tombstone set can never become a
+    broadcast build side because it is never a build side. Mark-and-sweep
+    still joins its aged-tombstone dimension, so with the broadcast
+    thresholds disabled (simulating a build side too large to broadcast) its
+    plan must be a non-broadcast join; a F.broadcast() hint would override
+    the threshold and keep BroadcastHashJoin (reference runs both
+    server-side with no size assumption, PostgresqlStorage.java:473-488)."""
     from datetime import datetime
 
     from aqueduct_core_spark.lake.merge import normalize_events, resolve_lww
@@ -295,8 +297,8 @@ def test_resolve_lww_tombstone_join_not_forced_broadcast(spark):
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         resolved = resolve_lww(raw)
-        assert "BroadcastHashJoin" not in explain_str(resolved, "simple")
-        # semantics unchanged under the shuffled plan: cascade still applies
+        assert "Join" not in explain_str(resolved, "simple")  # no join AT ALL
+        # semantics unchanged under the windowed plan: cascade still applies
         alive = {(r["conv_id"], r["turn_idx"]) for r in
                  resolved.filter("turn_idx >= 0 and not _deleted").collect()}
         assert alive == {("A", 1)}

@@ -105,3 +105,30 @@ def test_mor_idempotent_replay(spark, tmp_path):
     r = merge_change_batch(t, b, batch_id=0)
     assert r.skipped
     assert read_transcripts(t).count() == 1
+
+
+def test_mor_read_path_single_exchange_with_conv_parallelism(spark, tmp_path):
+    """The plain MOR read resolves on ONE exchange whose partitioning keys
+    include conv_id, not bucket alone — resolution parallelism scales with
+    key cardinality, so one hot bucket cannot collapse the read into one
+    task (the write path alone partitions by bucket to match file layout)."""
+    from aqueduct_core_spark.plans.inspect import count_exchanges, explain_str
+
+    t = make_table(spark, str(tmp_path / "m"), "mor")
+    events = random_events(200, seed=8)
+    for i in range(0, 200, 100):
+        merge_change_batch(t, events_df(spark, events[i : i + 100]), batch_id=i)
+    assert any(f.get("kind") == "delta" for f in t.current().files)
+
+    resolved = read_resolved(t)
+    assert count_exchanges(resolved) == 1
+    exchange_lines = [
+        ln for ln in explain_str(resolved, "simple").splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert exchange_lines and all("conv_id" in ln for ln in exchange_lines)
+    # bucketed_output implies the bucket column in the contract (enforced,
+    # not just documented)
+    from aqueduct_core_spark.lake.table import BUCKET_COL
+
+    assert BUCKET_COL in read_resolved(t, with_bucket_col=False, bucketed_output=True).columns
