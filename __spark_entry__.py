@@ -625,6 +625,26 @@ def q_multimodal_decode_real(spark, sf_dir):
     return decode_real_summary(media)
 
 
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, zero external libs: documents -> genuine
+    SOF0 JPEG streams (standard Annex-K Huffman tables, real entropy-coded
+    scan; each text byte is one constant 8x8 block, unit quantizers — the
+    layout that makes baseline DCT exactly invertible) -> the pure-numpy
+    marker/Huffman/zigzag/dequantize/IDCT decoder -> per-file summary whose
+    content_md5 is the md5 of the block bytes RECOVERED from the decoded
+    pixels. The oracle recomputes every column from the source table, so the
+    whole codec round-trip is hash-gated bit-for-bit."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        jpeg_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = jpeg_media_from_documents(docs, limit=MEDIA_LIMIT)
+    return decode_real_summary(media)
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -670,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_real": q_multimodal_decode_real,
+        "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     }
 
 
@@ -1059,6 +1080,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0
                         THEN octet_length(encode(text)) * 1000 // 16000
                         ELSE 1 END AS INTEGER) AS duration_ms,
+                   md5(text) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # each text byte is one 8x8 block of a one-block-row grayscale JPEG:
+        # n_units = blocks = byte count, width = 8*bytes, height = 8; the
+        # decoder's recovered block bytes must md5 back to the source text
+        "multimodal_decode_jpeg": f"""
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(8 * octet_length(encode(text)) AS INTEGER) AS rate,
+                   CAST(8 AS INTEGER) AS duration_ms,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,

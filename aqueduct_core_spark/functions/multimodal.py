@@ -176,6 +176,306 @@ def decode_bmp(payload: bytes) -> dict:
     return {"width": w, "height": h, "pixels": px[:, :, ::-1]}  # BGR -> RGB
 
 
+# --------------------------------------------------------- baseline JPEG
+# Pure-numpy baseline-DCT JPEG (ITU T.81): a real encoder and a real decoder
+# — markers, standard Annex K Huffman tables, zigzag, quantization, 8x8
+# DCT/IDCT, byte stuffing. Grayscale (one component), sequential baseline
+# only (SOF0); progressive/arithmetic/multi-component raise. All constants
+# below are from the public JPEG specification.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3.1 standard luminance Huffman tables
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # 1-pad to byte boundary per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def jpeg_bytes(gray: bytes, qtable: np.ndarray | None = None) -> bytes:
+    """Baseline JPEG encoder for a one-block-row grayscale image: each input
+    byte becomes one constant 8x8 block (width = 8*len, height = 8). The
+    entropy pipeline (DCT -> quantize -> zigzag -> Annex-K Huffman) is the
+    real general one; the constant-block layout plus an all-ones quant table
+    is what makes the codec EXACTLY invertible (a constant block is DC-only
+    and the DC quantizer divides the DCT gain), giving the decode path an
+    md5-round-trip oracle like the WAV/PPM containers."""
+    data = np.frombuffer(bytes(gray), dtype=np.uint8)
+    if data.size == 0:
+        data = np.zeros(0, dtype=np.uint8)
+    n_blocks = max(1, data.size)  # zero-length text still needs a legal frame
+    q = np.ones(64, dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64).reshape(64)
+    dc_huf = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_huf = _huff_codes(_AC_BITS, _AC_VALS)
+    C = _dct_matrix()
+
+    w = _BitWriter()
+    prev_dc = 0
+    blocks = data if data.size else np.zeros(1, dtype=np.uint8)
+    for v in blocks:
+        block = np.full((8, 8), float(int(v)) - 128.0)
+        coef = C @ block @ C.T
+        zz = np.round(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        size = _category(diff)
+        code, length = dc_huf[size]
+        w.put(code, length)
+        if size:
+            w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for k in range(1, 64):
+            a = int(zz[k])
+            if a == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_huf[0xF0]  # ZRL
+                w.put(zc, zl)
+                run -= 16
+            s = _category(a)
+            cc, cl = ac_huf[(run << 4) | s]
+            w.put(cc, cl)
+            w.put(a if a > 0 else a + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ec, el = ac_huf[0x00]  # EOB
+            w.put(ec, el)
+    scan = w.flush()
+
+    width, height = 8 * n_blocks, 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q))  # DQT id 0, 8-bit
+    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")  # SOF0
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
+    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS: comp 1 -> tables 0/0
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    b = 0  # marker reached (EOI): spec-legal 0 padding
+                    self.pos -= 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def take(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.n < length:
+            self.acc <<= length - self.n
+            self.n = length
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        return v
+
+
+def _huff_decode_tables(bits: list[int], vals: list[int]):
+    """Per-length (first_code, first_index) canonical decode table."""
+    table, code, i = [], 0, 0
+    for length in range(1, 17):
+        table.append((code, i, bits[length - 1]))
+        code = (code + bits[length - 1]) << 1
+        i += bits[length - 1]
+    return table, vals
+
+
+def _read_symbol(r: _BitReader, table, vals) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.take(1)
+        first, idx, count = table[length - 1]
+        if count and first <= code < first + count:
+            return vals[idx + (code - first)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JPEG decoder (grayscale, one component): marker
+    walk (DQT/DHT/SOF0/SOS), canonical Huffman scan decode with byte
+    unstuffing, dequantize, inverse zigzag, IDCT, level shift. Raises on
+    progressive (SOF2), arithmetic coding, or multi-component scans."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    width = height = None
+    scan_start = None
+    comp_dc = comp_ac = comp_q = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _huff_decode_tables(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC0:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only single-component scans supported")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + 2 + size
+            break
+        pos += 2 + size
+    if scan_start is None or width is None:
+        raise ValueError("missing SOS/SOF0")
+    q = qtables[comp_q]
+    dc_tab = huff[(0, comp_dc)]
+    ac_tab = huff[(1, comp_ac)]
+    C = _dct_matrix()
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    r = _BitReader(payload[scan_start:])
+    prev_dc = 0
+    inv = np.argsort(_ZIGZAG)
+    for blk in range(bx * by):
+        zz = np.zeros(64, dtype=np.int64)
+        size = _read_symbol(r, *dc_tab)
+        prev_dc += _extend(r.take(size), size) if size else 0
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_symbol(r, *ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _extend(r.take(s), s)
+            k += 1
+        coef = (zz * q)[inv].reshape(8, 8).astype(np.float64)
+        pix = C.T @ coef @ C + 128.0
+        y0, x0 = (blk // bx) * 8, (blk % bx) * 8
+        out[y0 : y0 + 8, x0 : x0 + 8] = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    return {"width": int(width), "height": int(height), "pixels": out[:height, :width]}
+
+
 def _audio_features_real(payload: bytes, dim: int) -> np.ndarray:
     """Real audio features from a WAV payload: [sample_rate, channels, bits,
     n_samples, duration_ms] + per-chunk RMS energy filling the remaining dims."""
@@ -206,8 +506,11 @@ def _image_features_real(payload: bytes, dim: int) -> np.ndarray:
         img = decode_ppm(payload)
     elif payload[:2] == b"BM":
         img = decode_bmp(payload)
+    elif payload[:2] == b"\xff\xd8":
+        img = dict(decode_jpeg(payload))
+        img["pixels"] = np.repeat(img["pixels"][:, :, None], 3, axis=2)  # gray->RGB
     else:
-        raise ValueError("unsupported image container (PPM/BMP only without codec libs)")
+        raise ValueError("unsupported image container (PPM/BMP/baseline-JPEG only without codec libs)")
     flat = img["pixels"].reshape(-1, 3).astype(np.float64)
     means = flat.mean(axis=0) if flat.size else np.zeros(3)
     head = [float(img["width"]), float(img["height"]), means[0], means[1], means[2]]
@@ -382,19 +685,49 @@ def real_media_from_documents(docs: DataFrame, limit: int | None = None) -> Data
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
+def jpeg_media_from_documents(docs: DataFrame, limit: int | None = None) -> DataFrame:
+    """Media table of REAL baseline JPEGs built from the documents table: each
+    doc's UTF-8 text bytes become the per-block values of a one-block-row
+    grayscale JPEG (jpeg_bytes). The payloads are genuine SOF0 JPEG streams —
+    standard Huffman tables, real entropy-coded scan — any baseline decoder
+    reads them; the constant-block + unit-quantizer layout is what makes the
+    decode EXACTLY invertible, so md5 of the recovered block bytes must equal
+    md5(text) (SQL-expressible oracle, like the WAV/PPM builders)."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        jpeg_bytes((t or "").encode("utf-8")) for t in pdf["text"]
+                    ],
+                    "meta": [{"container": "jpeg", "codec": "baseline"}] * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
 def decode_real_summary(media: DataFrame) -> DataFrame:
     """REAL-decode summary — the oracle-gated proof that `use_real` decoding
-    round-trips: each payload goes through the pure-numpy WAV/PPM parsers,
+    round-trips: each payload is container-sniffed by magic (RIFF -> WAV,
+    P6 -> PPM, FFD8 -> baseline JPEG) and decoded by the pure-numpy parsers,
     then the DECODED samples/pixels are re-serialized and md5'd. The digest
     equals md5 of the source text bytes only if chunk walking, header parsing
-    and sample/channel extraction are all correct."""
+    and sample/pixel extraction — for JPEG the whole Huffman/zigzag/
+    dequantize/IDCT pipeline — are all correct."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {k.name: [] for k in REAL_SUMMARY_SCHEMA.fields}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload or b"")
-                if kind == "audio":
+                if payload[:4] == b"RIFF":
                     wav = decode_wav(payload)
                     content = wav["samples"].tobytes()
                     rows["n_units"].append(wav["n_samples"])
@@ -402,6 +735,14 @@ def decode_real_summary(media: DataFrame) -> DataFrame:
                     rows["duration_ms"].append(
                         wav["n_samples"] * 1000 // wav["sample_rate"]
                     )
+                elif payload[:2] == b"\xff\xd8":
+                    img = decode_jpeg(payload)
+                    # one byte per 8x8 block (the builder's layout): top-left
+                    # pixel of each block across the single block row
+                    content = img["pixels"][0, ::8].tobytes()
+                    rows["n_units"].append(img["width"] // 8)
+                    rows["rate"].append(int(img["width"]))
+                    rows["duration_ms"].append(int(img["height"]))
                 else:
                     img = decode_ppm(payload)
                     content = img["pixels"][:, :, 0].tobytes()  # R channel

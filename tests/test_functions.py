@@ -524,3 +524,128 @@ def test_simhash_fat_bucket_recursion_exact(spark, docs):
 
     with pytest.raises(ValueError):
         simhash_near_pairs_words(sim, max_hamming=7, bands=8, fat_bucket_cap=8)
+
+
+def test_jpeg_codec_roundtrip_exact():
+    """Pure-numpy baseline JPEG: the constant-block layout round-trips every
+    byte string bit-exactly (DC-only blocks, unit quantizers), and the
+    decoder rejects non-baseline frames."""
+    import hashlib
+
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import decode_jpeg, jpeg_bytes
+
+    for txt in [b"hello world", bytes(range(256)), b"\x00", b"\xff" * 100]:
+        img = decode_jpeg(jpeg_bytes(txt))
+        assert (img["width"], img["height"]) == (8 * len(txt), 8)
+        assert img["pixels"][0, ::8].tobytes() == txt
+        # blocks really are constant (whole-pixel-field check, not just [0,::8])
+        px = img["pixels"]
+        assert all(
+            (px[:, 8 * i : 8 * i + 8] == txt[i]).all() for i in range(len(txt))
+        )
+    # progressive (SOF2) must raise, not mis-decode
+    enc = bytearray(jpeg_bytes(b"ab"))
+    enc[enc.index(0xC0, 2, None)] = 0xC2  # SOF0 marker byte -> SOF2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_entropy_layer_exact_with_nonzero_ac():
+    """The Huffman/zigzag/ZRL layer is exercised with real AC coefficients:
+    hand-assemble a scan of random NON-constant blocks with the encoder's own
+    writer, decode it, and compare bit-exactly against an independently
+    computed IDCT of the dequantized coefficients."""
+    import struct
+
+    import numpy as np
+
+    from aqueduct_core_spark.functions import multimodal as M
+
+    C = M._dct_matrix()
+    rng = np.random.RandomState(7)
+    blocks = [rng.randint(0, 256, (8, 8)).astype(float) for _ in range(5)]
+    quant = lambda b: np.round(C @ (b - 128.0) @ C.T).astype(np.int64)  # noqa: E731
+    w = M._BitWriter()
+    dc_huf = M._huff_codes(M._DC_BITS, M._DC_VALS)
+    ac_huf = M._huff_codes(M._AC_BITS, M._AC_VALS)
+    prev = 0
+    for b in blocks:
+        zz = quant(b).reshape(64)[M._ZIGZAG]
+        diff = int(zz[0]) - prev
+        prev = int(zz[0])
+        s = M._category(diff)
+        c, l = dc_huf[s]
+        w.put(c, l)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            a = int(zz[k])
+            if a == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_huf[0xF0]
+                w.put(zc, zl)
+                run -= 16
+            s = M._category(a)
+            cc, cl = ac_huf[(run << 4) | s]
+            w.put(cc, cl)
+            w.put(a if a > 0 else a + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ec, el = ac_huf[0x00]
+            w.put(ec, el)
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    jp = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 40, 1) + b"\x01\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(M._DC_BITS) + bytes(M._DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(M._AC_BITS) + bytes(M._AC_VALS))
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + w.flush()
+        + b"\xff\xd9"
+    )
+    got = M.decode_jpeg(jp)["pixels"]
+    exp = np.hstack(
+        [
+            np.clip(np.round(C.T @ quant(b).astype(float) @ C + 128.0), 0, 255).astype(np.uint8)
+            for b in blocks
+        ]
+    )
+    assert (got == exp).all()
+
+
+def test_jpeg_decode_summary_matches_source(spark):
+    """The multimodal_decode_jpeg oracle contract locally: decoded-block md5
+    == md5 of the source text bytes through the full Spark mapInPandas path,
+    and the JPEG container feeds the real image-feature extractor."""
+    import hashlib
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        extract_features,
+        jpeg_media_from_documents,
+    )
+
+    rows = [(0, "hello world"), (1, "caffé"), (2, "x" * 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = jpeg_media_from_documents(docs)
+    out = {r["media_id"]: r for r in decode_real_summary(media).collect()}
+    for did, text in rows:
+        b = text.encode("utf-8")
+        r = out[did]
+        assert r["kind"] == "image"
+        assert r["n_units"] == len(b)
+        assert r["rate"] == 8 * len(b) and r["duration_ms"] == 8
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8, use_real=True).collect()}
+    # width feature = 8 * byte length; mean channel = mean byte value
+    assert feats[2]["features"][0] == 8 * 300
+    assert abs(feats[2]["features"][2] - ord("x")) < 1e-6
