@@ -105,6 +105,94 @@ class LocalFS:
             os.unlink(tmp)
 
 
+class TransientStorageError(OSError):
+    """A retryable storage fault — the S3 503 SlowDown / timeout class."""
+
+
+class RetryingFS:
+    """Transient-fault wrapper for any FS implementation — what a real
+    object-store FileIO does internally (Iceberg's S3FileIO retry policy).
+
+    Every operation retries TransientStorageError/OSError with exponential
+    backoff. FileExistsError and FileNotFoundError are SEMANTIC results
+    (CAS lost / absent path) and propagate immediately.
+
+    publish_if_absent is retried too, which surfaces the AMBIGUOUS-SUCCESS
+    case: the create landed server-side but the response was lost, so the
+    retry sees FileExistsError. Every CAS loop in this engine resolves that
+    correctly by re-reading state before acting on the "conflict" — the merge
+    re-checks its txn watermark and whether the current manifest references
+    its own files (exactly-once, no discard of live files), compaction loops
+    detect their files in the current snapshot, registry/property mutations
+    are idempotent re-applies. tests/test_fault_injection.py drives all of it
+    under injected faults."""
+
+    _OPS = (
+        "exists", "isdir", "makedirs", "listdir", "remove", "rmtree",
+        "read_text", "parquet_footer", "publish_if_absent",
+    )
+
+    def __init__(self, inner, attempts: int = 5, base_delay_s: float = 0.01, sleep=None):
+        import time as _time
+
+        self.inner = inner
+        self.attempts = max(1, attempts)
+        self.base_delay_s = base_delay_s
+        self._sleep = sleep if sleep is not None else _time.sleep
+
+    def _call(self, name: str, *args, **kwargs):
+        last = None
+        for attempt in range(self.attempts):
+            try:
+                return getattr(self.inner, name)(*args, **kwargs)
+            except (FileExistsError, FileNotFoundError):
+                raise  # semantic outcome, not a fault
+            except OSError as e:
+                last = e
+                if attempt + 1 < self.attempts:
+                    self._sleep(self.base_delay_s * (2**attempt))
+        raise last
+
+    def exists(self, path):
+        return self._call("exists", path)
+
+    def isdir(self, path):
+        return self._call("isdir", path)
+
+    def makedirs(self, path):
+        return self._call("makedirs", path)
+
+    def listdir(self, path):
+        return self._call("listdir", path)
+
+    def walk_files(self, root):
+        # materialized so a mid-iteration fault retries the whole listing
+        last = None
+        for attempt in range(self.attempts):
+            try:
+                return iter(list(self.inner.walk_files(root)))
+            except OSError as e:
+                last = e
+                if attempt + 1 < self.attempts:
+                    self._sleep(self.base_delay_s * (2**attempt))
+        raise last
+
+    def remove(self, path):
+        return self._call("remove", path)
+
+    def rmtree(self, path):
+        return self._call("rmtree", path)
+
+    def read_text(self, path):
+        return self._call("read_text", path)
+
+    def parquet_footer(self, path):
+        return self._call("parquet_footer", path)
+
+    def publish_if_absent(self, text, final_path):
+        return self._call("publish_if_absent", text, final_path)
+
+
 _FS = LocalFS()
 
 

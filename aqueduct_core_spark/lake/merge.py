@@ -268,9 +268,23 @@ def merge_change_batch(
             table.try_commit(nxt)
             return MergeResult(batch_id, False, nxt.version, list(affected))
         except CommitConflict:
-            # optimistic retry, same as Iceberg commit conflicts — but first
-            # reclaim this attempt's data files (no manifest references them)
+            # Three cases behind one exception (the object-store reality):
+            cur = table.current()
+            ours = {f["path"] for f in new_files}
+            if any(f["path"] in ours for f in cur.files):
+                # AMBIGUOUS SUCCESS: our manifest actually landed but the
+                # storage response was lost (S3 PUT timeout) and a retry saw
+                # FileExistsError. The files are LIVE — discarding them would
+                # corrupt the table. Report the commit that happened.
+                return MergeResult(batch_id, False, cur.version, list(affected))
+            # our attempt's files are unreferenced either way now
             table.discard_files(new_files)
+            if cur.txn.get(writer_id, -1) >= batch_id:
+                # zombie twin: another instance of THIS writer already applied
+                # this batch_id — idempotence says skip, not re-apply
+                return MergeResult(batch_id, True, None, [])
+            # genuine conflict with a different writer: optimistic retry,
+            # same as Iceberg commit conflicts
             continue
 
 

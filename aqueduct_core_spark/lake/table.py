@@ -377,6 +377,12 @@ class LakeTable:
         while True:
             snap = self.current()
             old = snap.schema()
+            if [(f.name, f.dataType, f.nullable) for f in old.fields] == [
+                (f.name, f.dataType, f.nullable) for f in new_schema.fields
+            ]:
+                # idempotent no-op (covers the ambiguous-success retry: our
+                # evolution already landed but the storage response was lost)
+                return snap
             _check_compatible_evolution(old, new_schema)
             new_id = max(s["schema_id"] for s in snap.schemas) + 1
             nxt = Snapshot(

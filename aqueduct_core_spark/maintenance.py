@@ -75,6 +75,12 @@ def compact_table(
             table.try_commit(nxt)
             break
         except CommitConflict:
+            cur = table.current()
+            if any(f["path"] in {e["path"] for e in new_files} for f in cur.files):
+                # ambiguous success (lost storage response): our rewrite IS
+                # the current snapshot — its files are live, don't discard
+                nxt = cur
+                break
             table.discard_files(new_files)  # reclaim the losing attempt's files
             continue
     removed = table.expire_snapshots(keep_last=keep_snapshots)
@@ -120,8 +126,13 @@ def compact_bucket_range(
         ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
     )
     new_files = table.write_files(kept, snap0, kind="base", already_bucketed=True)
+    ours = {f["path"] for f in new_files}
     while True:
         cur = table.current()
+        if any(f["path"] in ours for f in cur.files):
+            # ambiguous success: our rebase commit landed but the storage
+            # response was lost — rebasing again would double-list the files
+            return CompactionStats(version=cur.version, removed_snapshots=0)
         files = [f for f in cur.files if f["path"] not in folded] + new_files
         nxt = Snapshot(
             version=cur.version + 1,
@@ -314,5 +325,8 @@ def rewrite_small_files(table: LakeTable, target_files_per_bucket: int = 1) -> i
             table.try_commit(nxt)
             return nxt.version
         except CommitConflict:
+            cur = table.current()
+            if any(f["path"] in {e["path"] for e in new_files} for f in cur.files):
+                return cur.version  # ambiguous success: files are live
             table.discard_files(new_files)  # reclaim the losing attempt's files
             continue
