@@ -293,6 +293,27 @@ def q_cdc_visibility_window(spark, sf_dir):
     )
 
 
+_CHAINQ_ROOTS: list[str] = []
+
+
+def _chainq_scratch() -> str:
+    """Scratch root for the chained-consumer query's parent/child tables.
+    The returned DataFrame reads them lazily, so they must survive the call —
+    an atexit sweep reclaims them at process exit instead of leaking one
+    tempdir per bench/correctness invocation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aq_chainq_")
+    if not _CHAINQ_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(r, ignore_errors=True) for r in _CHAINQ_ROOTS]
+        )
+    _CHAINQ_ROOTS.append(root)
+    return root
+
+
 def q_cdc_chained_consumer(spark, sf_dir):
     """End-to-end chained-pipe equality: the events log is mapped onto the
     transcript change-feed shape, merged into a PARENT lake table in two
@@ -309,8 +330,6 @@ def q_cdc_chained_consumer(spark, sf_dir):
     interval), driver-side JSON) plus a bucket-local merge of only the
     interval's delta files — independent of table size."""
     _conf(spark)
-    import tempfile
-
     from aqueduct_core_spark.lake.merge import merge_change_batch
     from aqueduct_core_spark.lake.table import LakeTable
     from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
@@ -334,8 +353,9 @@ def q_cdc_chained_consumer(spark, sf_dir):
         F.lit(None).cast("int").alias("event_size"),
     )
     mid = int(feed.agg(F.max("change_lsn")).collect()[0][0]) // 2  # scalar watermark
-    # temp roots are left on disk: the returned DataFrame reads them lazily
-    root = tempfile.mkdtemp(prefix="aq_chainq_")
+    # temp roots must outlive this call (the returned DataFrame reads them
+    # lazily) but not the process: reclaimed at interpreter exit
+    root = _chainq_scratch()
     parent = LakeTable.create(
         spark,
         f"{root}/parent",
