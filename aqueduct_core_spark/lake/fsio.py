@@ -127,11 +127,6 @@ class RetryingFS:
     are idempotent re-applies. tests/test_fault_injection.py drives all of it
     under injected faults."""
 
-    _OPS = (
-        "exists", "isdir", "makedirs", "listdir", "remove", "rmtree",
-        "read_text", "parquet_footer", "publish_if_absent",
-    )
-
     def __init__(self, inner, attempts: int = 5, base_delay_s: float = 0.01, sleep=None):
         import time as _time
 

@@ -223,3 +223,42 @@ def test_registry_cas_under_chaos(tmp_path, chaos_fs):
     hosts = [n.host for n in reg.get_group("g").nodes]
     assert sorted(hosts) == sorted(f"h{i}" for i in range(12))
     assert reg.version() >= 60  # every mutation landed (ambiguous retries may add versions)
+
+
+def test_retrying_fs_semantics(tmp_path):
+    """RetryingFS unit contract: transient OSErrors retry with backoff up to
+    `attempts`; FileExistsError / FileNotFoundError are semantic outcomes and
+    propagate immediately (no retry, no sleep)."""
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    class Once:
+        def read_text(self, path):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise TransientStorageError("503")
+            return "ok"
+
+        def publish_if_absent(self, text, path):
+            raise FileExistsError(path)
+
+        def listdir(self, path):
+            raise FileNotFoundError(path)
+
+        def exists(self, path):
+            raise TransientStorageError("always down")
+
+    fs = RetryingFS(Once(), attempts=4, base_delay_s=1.0, sleep=sleeps.append)
+    assert fs.read_text("p") == "ok"
+    assert calls["n"] == 3
+    assert sleeps == [1.0, 2.0]  # exponential backoff, one per retry
+
+    with pytest.raises(FileExistsError):
+        fs.publish_if_absent("x", "p")
+    with pytest.raises(FileNotFoundError):
+        fs.listdir("p")
+    assert len(sleeps) == 2  # semantic outcomes did not retry/sleep
+
+    with pytest.raises(TransientStorageError):
+        fs.exists("p")  # exhausted attempts re-raise the last fault
+    assert len(sleeps) == 2 + 3  # attempts-1 backoffs
