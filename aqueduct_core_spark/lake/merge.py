@@ -59,6 +59,41 @@ class MergeResult:
     affected_buckets: list[int]
 
 
+#: why a change event cannot be applied — NULL/garbage in a field the merge
+#: semantics depend on. Anything else flows through untouched.
+VALID_OPS = ("I", "U", "D")
+
+
+def malformed_reason() -> "F.Column":
+    """NULL for applicable events, else a short reason code. The checks mirror
+    exactly what the apply path relies on: an orderable offset (change_lsn),
+    a known op, a merge key (conv_id; turn_idx for turn-level events), and an
+    LWW-orderable timestamp."""
+    is_conv = F.col("entity") == F.lit("conversation")
+    return (
+        F.when(F.col("change_lsn").isNull(), F.lit("null_lsn"))
+        .when(~F.col("op").isin(*VALID_OPS), F.lit("bad_op"))
+        .when(F.col("conv_id").isNull() | (F.col("conv_id") == F.lit("")), F.lit("null_conv"))
+        .when(~F.coalesce(is_conv, F.lit(False)) & F.col("turn_idx").isNull(), F.lit("null_turn_idx"))
+        .when(F.col("ts").isNull(), F.lit("null_ts"))
+    )
+
+
+def split_malformed(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (clean, quarantined). `quarantined` carries the
+    original event columns plus `_reason`. A 10^10-event production feed WILL
+    contain garbage; dropping it silently loses data, applying it corrupts
+    LWW ordering (NULL ts/lsn are unorderable) — the reference's answer is a
+    rejected-write error per message; a streaming lake engine's is a
+    quarantine table. One predicate, evaluated inline in the batch scan —
+    no extra shuffle."""
+    reason = malformed_reason()
+    return (
+        batch_df.filter(reason.isNull()),
+        batch_df.withColumn("_reason", reason).filter(F.col("_reason").isNotNull()),
+    )
+
+
 def normalize_events(batch_df: DataFrame, physical_schema) -> DataFrame:
     """Project change events onto the physical transcript row shape.
 

@@ -43,6 +43,8 @@ class IngestMetrics:
     per_batch_rows: list[int] = field(default_factory=list)
     #: newest event timestamp seen (datetime; the feed-recency signal)
     last_event_ts: object = None
+    #: malformed events diverted to the dead-letter sink (quarantine_dir)
+    events_quarantined: int = 0
 
 
 class IngestEngine:
@@ -76,6 +78,13 @@ class IngestEngine:
         # commit, fold delta files in any bucket whose manifest-recorded MOR
         # debt exceeds the policy (self-tuning CompactionTask — data-driven,
         # not cron). None = never auto-compact (caller-scheduled maintenance).
+        quarantine_dir: str | None = None,  # dead-letter sink: malformed
+        # events (NULL lsn/key/ts, unknown op — anything the LWW semantics
+        # cannot order) are appended here as parquet with a `_reason` column
+        # instead of poisoning the merge. At-least-once (a crash between the
+        # quarantine append and the checkpoint re-appends on replay) — the
+        # DLQ contract; dedup downstream by (change_lsn, _reason) if needed.
+        # None = feed is trusted, zero extra scans (the bench/replay path).
     ):
         self.spark = spark
         self.table_root = table_root
@@ -98,6 +107,7 @@ class IngestEngine:
         self.transform = transform
         self.compaction_policy = compaction_policy
         self.compactions_triggered = 0
+        self.quarantine_dir = quarantine_dir
         self.metrics = IngestMetrics()
         # one worker: foreachBatch is sequential, the pool exists only so the
         # lineage aggregate runs as a concurrent Spark job beside the merge
@@ -292,6 +302,19 @@ class IngestEngine:
             # reference F2 offset floor: the client resumes from its own
             # offset on a fresh upstream (HttpPipeClient /pipe/{offset})
             df = df.filter(F.col("change_lsn") > F.lit(int(self.min_lsn)))
+        if self.quarantine_dir is not None:
+            # dead-letter split (reference analog: per-message rejected-write
+            # errors; here a quarantine table). The append is its own tiny
+            # job; the clean side flows into the one-exchange merge unchanged.
+            from aqueduct_core_spark.lake.merge import split_malformed
+
+            df, bad = split_malformed(df)
+            n_bad = bad.count()
+            if n_bad:
+                bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(self.quarantine_dir)
+            self.metrics.events_quarantined += n_bad
         if self.transform is not None:
             # Arrow-vectorized payload transform (pandas UDF, no per-row Python)
             df = self.transform(df)
