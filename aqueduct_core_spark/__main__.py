@@ -42,6 +42,13 @@ def cmd_ingest(args) -> int:
         from aqueduct_core_spark.functions.transforms import normalize_payload
 
         transform = normalize_payload
+    policy = None
+    if args.auto_compact_max_delta_files:
+        from aqueduct_core_spark.maintenance import CompactionPolicy
+
+        policy = CompactionPolicy(
+            max_delta_files_per_bucket=args.auto_compact_max_delta_files
+        )
     eng = IngestEngine(
         spark,
         table_root=args.table,
@@ -51,6 +58,8 @@ def cmd_ingest(args) -> int:
         routing_filter=[int(x) for x in args.routing.split(",")] if args.routing else None,
         entity_filter=args.entities.split(",") if args.entities else None,
         transform=transform,
+        compaction_policy=policy,
+        quarantine_dir=args.quarantine_dir,
     )
     if args.bootstrap:
         eng.bootstrap(args.bootstrap, delay_ms=args.bootstrap_delay_ms)
@@ -91,6 +100,8 @@ def cmd_ingest(args) -> int:
     else:
         eng.run(args.log, max_files_per_trigger=args.max_files_per_trigger)
     print(json.dumps({"batches_applied": eng.metrics.batches_applied,
+                      "events_quarantined": eng.metrics.events_quarantined,
+                      "compactions_triggered": eng.compactions_triggered,
                       "pipe_state": eng.pipe_state()}))
     return 0
 
@@ -156,6 +167,8 @@ def cmd_changes(args) -> int:
 
 def cmd_chain(args) -> int:
     """Tail a parent table into a child table (the distribution-tree edge)."""
+    from dataclasses import asdict
+
     from aqueduct_core_spark.streaming.chain import ChainedConsumer
 
     spark = _spark("aqueduct-chain")
@@ -167,6 +180,10 @@ def cmd_chain(args) -> int:
         merge_mode=args.mode,
         writer_id=args.writer_id,
     )
+    if args.lag_only:
+        # gauge without syncing: the registry's per-node offset-lag endpoint
+        print(json.dumps(asdict(c.lag())))
+        return 0
     results = c.run_until_caught_up(max_syncs=args.max_syncs)
     print(
         json.dumps(
@@ -174,6 +191,7 @@ def cmd_chain(args) -> int:
                 "syncs_applied": sum(1 for r in results if r.applied),
                 "bootstrapped": any(r.bootstrapped for r in results),
                 "parent_version": results[-1].parent_version if results else None,
+                "lag": asdict(c.lag()),
             }
         )
     )
@@ -212,6 +230,15 @@ def main(argv=None) -> int:
     )
     pi.add_argument("--adaptive", action="store_true", help="adaptive Retry-After tail loop")
     pi.add_argument("--max-rounds", type=int, default=10)
+    pi.add_argument(
+        "--quarantine-dir", default=None,
+        help="dead-letter sink: malformed events land here as parquet with a reason",
+    )
+    pi.add_argument(
+        "--auto-compact-max-delta-files", type=int, default=None,
+        help="self-tuning compaction: fold any bucket whose delta-file count "
+        "exceeds this after a commit (manifest-stat trigger, no cron)",
+    )
     pi.set_defaults(fn=cmd_ingest)
 
     pc = sub.add_parser("compact", help="fold deltas + purge aged tombstones")
@@ -238,6 +265,10 @@ def main(argv=None) -> int:
     ph.add_argument("--buckets", type=int, default=64)
     ph.add_argument("--writer-id", default="chain")
     ph.add_argument("--max-syncs", type=int, default=1000)
+    ph.add_argument(
+        "--lag-only", action="store_true",
+        help="report versions/rows-behind without syncing (offset-lag gauge)",
+    )
     ph.set_defaults(fn=cmd_chain)
 
     args = p.parse_args(argv)

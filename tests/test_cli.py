@@ -58,3 +58,57 @@ def test_chain_cli_converges_child(spark, tmp_path, capsys):
     a = [tuple(r) for r in read_transcripts(parent).orderBy("conv_id", "turn_idx").collect()]
     b = [tuple(r) for r in read_transcripts(child).orderBy("conv_id", "turn_idx").collect()]
     assert a == b and len(a) > 0
+
+
+def test_chain_cli_lag_only_gauge(spark, tmp_path, capsys):
+    build_parent(spark, str(tmp_path / "p"))
+    assert main(["chain", "--parent", str(tmp_path / "p"), "--table",
+                 str(tmp_path / "ch"), "--buckets", "4", "--lag-only"]) == 0
+    lag = last_json(capsys)
+    assert lag["versions_behind"] == 2 and lag["rows_behind"] == 16
+    assert not lag["bootstrap_required"]
+    # sync, then the embedded lag gauge reports caught-up
+    assert main(["chain", "--parent", str(tmp_path / "p"), "--table",
+                 str(tmp_path / "ch"), "--buckets", "4"]) == 0
+    out = last_json(capsys)
+    assert out["lag"]["versions_behind"] == 0 and out["lag"]["rows_behind"] == 0
+
+
+def test_ingest_cli_quarantine_and_auto_compact(spark, tmp_path, capsys):
+    from pyspark.sql.types import StructField, StructType
+
+    from aqueduct_core_spark.oracle import replay
+    from aqueduct_core_spark.schema import CHANGE_EVENT_SCHEMA
+
+    clean = [ev(i, conv=f"c{i % 5}", turn=i % 3, t=i) for i in range(1, 41)]
+    feed = str(tmp_path / "feed")
+    events_df(spark, clean).repartition(8).write.parquet(feed)
+    nullable = StructType(
+        [StructField(f.name, f.dataType, True) for f in CHANGE_EVENT_SCHEMA.fields]
+    )
+    spark.createDataFrame(
+        [(None, "I", "turn", "zz", 0, "user", "bad", None, None, 0, 1)], nullable
+    ).write.mode("append").parquet(feed)
+
+    dlq = str(tmp_path / "dlq")
+    assert main([
+        "ingest", "--log", feed, "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"), "--buckets", "4",
+        "--max-files-per-trigger", "2", "--quarantine-dir", dlq,
+        "--auto-compact-max-delta-files", "2",
+    ]) == 0
+    out = last_json(capsys)
+    assert out["events_quarantined"] == 1
+    assert out["compactions_triggered"] > 0
+    assert spark.read.parquet(dlq).count() == 1
+
+    from aqueduct_core_spark.maintenance import CompactionPolicy, delta_pressure
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    assert all(
+        n <= 2 for n, _ in delta_pressure(t.current()).values()
+    )
+    expected = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(clean)]
+    got = [(r["conv_id"], r["turn_idx"], r["text"])
+           for r in read_transcripts(t).orderBy("conv_id", "turn_idx").collect()]
+    assert got == expected
