@@ -72,7 +72,9 @@ def malformed_reason() -> "F.Column":
     is_conv = F.col("entity") == F.lit("conversation")
     return (
         F.when(F.col("change_lsn").isNull(), F.lit("null_lsn"))
-        .when(~F.col("op").isin(*VALID_OPS), F.lit("bad_op"))
+        # NULL op must be caught explicitly: ~NULL.isin(...) is NULL, and
+        # WHEN(NULL) falls through — three-valued logic would wave it past
+        .when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), F.lit("bad_op"))
         .when(F.col("conv_id").isNull() | (F.col("conv_id") == F.lit("")), F.lit("null_conv"))
         .when(~F.coalesce(is_conv, F.lit(False)) & F.col("turn_idx").isNull(), F.lit("null_turn_idx"))
         .when(F.col("ts").isNull(), F.lit("null_ts"))

@@ -29,6 +29,8 @@ _BAD_ROWS = [
     ((902, "I", "turn", "", 0, "user", "g3", None, ts(5), 0, 64), "null_conv"),
     ((903, "I", "turn", "cX", None, "user", "g4", None, ts(5), 0, 64), "null_turn_idx"),
     ((904, "I", "turn", "cX", 0, "user", "g5", None, None, 0, 64), "null_ts"),
+    # NULL op: three-valued logic (~NULL.isin(...) is NULL) must not wave it past
+    ((905, None, "turn", "cX", 0, "user", "g6", None, ts(5), 0, 64), "bad_op"),
 ]
 
 
