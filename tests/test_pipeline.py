@@ -202,3 +202,45 @@ def test_plan_shards_balance_no_runt_last_shard(spark):
     for k, t in sorted(vrows):
         vtok[expect[k]] = vtok.get(expect[k], 0) + t
     assert all(abs(tok - 700) <= 70 for tok in vtok.values()), vtok
+
+
+def test_plan_shards_property_random_corpora(spark):
+    """Property: for random corpora, BOTH planner modes equal an exact
+    driver-side reference — default mode the literal floor(cumsum/budget),
+    balance mode the boundary-spread start*n//total — across chunk counts
+    (including ones that exercise refinement)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_docs=st.integers(min_value=3, max_value=120),
+        budget=st.integers(min_value=5, max_value=500),
+        n_chunks=st.sampled_from([2, 5, 16]),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def check(n_docs, budget, n_chunks, seed):
+        import random as _r
+
+        rng = _r.Random(seed)
+        rows = [(f"k{i:05d}", rng.randint(1, 80)) for i in range(n_docs)]
+        df = spark.createDataFrame(rows, "conv_id string, n_tokens int")
+        total = sum(t for _, t in rows)
+
+        got_plain = {
+            r["conv_id"]: r["shard_id"]
+            for r in plan_shards(df, budget, n_chunks=n_chunks).collect()
+        }
+        got_bal = {
+            r["conv_id"]: r["shard_id"]
+            for r in plan_shards(df, budget, n_chunks=n_chunks, balance=True).collect()
+        }
+        n_shards = max(1, round(total / budget))
+        start, exp_plain, exp_bal = 0, {}, {}
+        for k, t in sorted(rows):
+            exp_plain[k] = start // budget
+            exp_bal[k] = (start * n_shards) // total
+            start += t
+        assert got_plain == exp_plain
+        assert got_bal == exp_bal
+
+    check()
