@@ -404,16 +404,106 @@ class LakeTable:
                 continue
 
     # ---------------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 2) -> int:
+    def register_consumer(self, consumer_id: str, version: int) -> None:
+        """Record a downstream consumer's applied snapshot version in the
+        table properties (CAS loop) — the reference's node offset
+        re-registration (nodes continually report their pipe offset to the
+        registry; retention/compaction then respects the slowest reader).
+        Chained children call this after each sync so
+        expire_snapshots(respect_consumers=True) never breaks their resume
+        interval."""
+        import time as _t
+
+        while True:
+            snap = self.current()
+            consumers = dict(snap.properties.get("consumers", {}))
+            if consumers.get(consumer_id) == version:
+                return
+            consumers[consumer_id] = int(version)
+            nxt = Snapshot(
+                version=snap.version + 1,
+                current_schema_id=snap.current_schema_id,
+                schemas=snap.schemas,
+                n_buckets=snap.n_buckets,
+                bucket_key=snap.bucket_key,
+                files=snap.files,
+                txn=snap.txn,
+                properties={**snap.properties, "consumers": consumers},
+                parent=snap.version,
+                committed_at=_t.time(),
+            )
+            try:
+                self.try_commit(nxt)
+                return
+            except CommitConflict:
+                continue  # idempotent re-apply onto the new current
+
+    def unregister_consumer(self, consumer_id: str) -> None:
+        """Remove a consumer's registration (the stale-node eviction path —
+        SubNodeGroup removes nodes unseen past the threshold)."""
+        import time as _t
+
+        while True:
+            snap = self.current()
+            consumers = dict(snap.properties.get("consumers", {}))
+            if consumer_id not in consumers:
+                return
+            consumers.pop(consumer_id)
+            nxt = Snapshot(
+                version=snap.version + 1,
+                current_schema_id=snap.current_schema_id,
+                schemas=snap.schemas,
+                n_buckets=snap.n_buckets,
+                bucket_key=snap.bucket_key,
+                files=snap.files,
+                txn=snap.txn,
+                properties={**snap.properties, "consumers": consumers},
+                parent=snap.version,
+                committed_at=_t.time(),
+            )
+            try:
+                self.try_commit(nxt)
+                return
+            except CommitConflict:
+                continue
+
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        respect_consumers: bool = False,
+        max_consumer_lag: int | None = None,
+    ) -> int:
         """Drop old manifests and any data files no kept snapshot references.
 
         The reference's VACUUM/compaction maintenance analog
         (PostgresqlStorage.java:490-497, SQLiteStorage.java:266-273).
-        """
+
+        respect_consumers=True additionally keeps every manifest from the
+        slowest REGISTERED consumer's applied version forward (see
+        register_consumer), so chained children resume incrementally instead
+        of falling past retention and bootstrapping. A consumer more than
+        max_consumer_lag versions behind is ignored (and its registration
+        dropped) — the stale-node eviction contract: a reader that dead-stops
+        must not pin retention forever; it bootstraps from a snapshot when it
+        returns."""
+        active: list[int] = []
+        if respect_consumers:
+            cur = self.current()
+            consumers = dict(cur.properties.get("consumers", {}))
+            stale = [
+                cid
+                for cid, v in consumers.items()
+                if max_consumer_lag is not None and cur.version - int(v) > max_consumer_lag
+            ]
+            for cid in stale:
+                self.unregister_consumer(cid)  # appends manifests — list after
+            active = [int(v) for cid, v in consumers.items() if cid not in stale]
         versions = self.versions()
         if len(versions) <= keep_last:
             return 0
         keep = set(versions[-keep_last:])
+        if active:
+            keep.update(v for v in versions if v >= min(active))
         live: set[str] = set()
         for v in keep:
             live.update(f["path"] for f in self.snapshot_at(v).files)

@@ -33,7 +33,6 @@ from pyspark.sql import SparkSession
 from aqueduct_core_spark.lake.merge import (
     changed_entries,
     merge_change_batch,
-    read_changes,
     read_resolved,
 )
 from aqueduct_core_spark.lake.table import LakeTable
@@ -66,7 +65,10 @@ class ChainLag:
 
     @property
     def caught_up(self) -> bool:
-        return self.versions_behind == 0
+        # versions_behind > 0 with rows_behind == 0 means the missing
+        # interval holds only metadata commits (consumer registrations,
+        # property updates) — nothing to apply, the child is current
+        return self.versions_behind == 0 or self.rows_behind == 0
 
 
 class ChainedConsumer:
@@ -82,6 +84,12 @@ class ChainedConsumer:
         n_buckets: int = 16,
         merge_mode: str = "mor",  # mor keeps the child tailable by grandchildren
         writer_id: str = "chain",
+        register_offset: bool = False,  # report the applied version into the
+        # parent's `consumers` property after each data sync (the reference's
+        # node offset re-registration) so the parent's
+        # expire_snapshots(respect_consumers=True) keeps this child's resume
+        # interval alive. Opt-in: each registration is a parent metadata
+        # commit.
     ):
         self.spark = spark
         self.parent_root = parent_root
@@ -89,6 +97,7 @@ class ChainedConsumer:
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
         self.writer_id = writer_id
+        self.register_offset = register_offset
 
     def ensure_table(self) -> LakeTable:
         if LakeTable.exists(self.table_root):
@@ -143,19 +152,36 @@ class ChainedConsumer:
         child_fields = {
             (f.name, f.dataType) for f in child.current().schema().fields
         }
-        if {(f.name, f.dataType) for f in parent_schema.fields} - child_fields:
+        schema_changed = bool(
+            {(f.name, f.dataType) for f in parent_schema.fields} - child_fields
+        )
+        if schema_changed:
             child.evolve_schema(parent_schema)
         bootstrapped = False
         try:
-            batch = read_changes(parent, since_version=last, until_version=pv)
+            added, until_snap = changed_entries(parent, last, pv)
         except ValueError:
             # fell past the parent's snapshot retention — the reference's
             # compacted-away offsets: bootstrap from the full resolved view
             batch = read_resolved(parent, version=pv)
             bootstrapped = True
+        else:
+            if not added and not schema_changed:
+                # metadata-only interval (consumer registrations, property
+                # updates): nothing to apply and nothing worth a child
+                # commit. Skipping WITHOUT advancing the watermark is what
+                # prevents a registration ratchet — our own register call
+                # below bumps the parent, and chasing that bump would bump
+                # it again, forever.
+                return SyncResult(applied=False, parent_version=pv, since_version=last)
+            batch = parent.read_entries(added, until_snap)
         merge_change_batch(
             child, batch, batch_id=pv, writer_id=self.writer_id, physical=True
         )
+        if self.register_offset:
+            # report the applied offset upstream (node re-registration): the
+            # parent's consumer-aware retention keeps (pv, head] alive for us
+            parent.register_consumer(self.writer_id, pv)
         return SyncResult(
             applied=True,
             parent_version=pv,

@@ -201,3 +201,57 @@ def test_fanout_tree_lag_gauges_and_midstream_bootstrap(spark, tmp_path):
     assert visible(parent) == expected
     for root in (a_root, b_root, g_root):
         assert visible(LakeTable(spark, root)) == expected
+
+
+def test_consumer_aware_retention_keeps_resume_interval(spark, tmp_path):
+    """Children that register offsets (the reference's node offset
+    re-registration) pin the parent's retention floor: aggressive
+    expire_snapshots(keep_last=1, respect_consumers=True) after every commit
+    still leaves the slow child an incremental resume path — no bootstrap —
+    while old manifests beyond the floor ARE pruned. A dead consumer past
+    max_consumer_lag is evicted and stops pinning retention. Metadata-only
+    intervals (the registrations themselves) don't ratchet syncs."""
+    events = feed_events(240, seed=17)
+    p_root = str(tmp_path / "p")
+    parent = make_parent(spark, p_root)
+    fast = ChainedConsumer(spark, p_root, str(tmp_path / "f"),
+                           writer_id="fast", register_offset=True)
+    slow = ChainedConsumer(spark, p_root, str(tmp_path / "s"),
+                           writer_id="slow", register_offset=True)
+
+    for i, lo in enumerate(range(0, 240, 60)):
+        merge_change_batch(parent, events_df(spark, events[lo : lo + 60]), batch_id=i)
+        fast.run_until_caught_up()
+        if i == 0:
+            slow.run_until_caught_up()  # slow stops syncing after batch 0
+        parent.expire_snapshots(keep_last=1, respect_consumers=True)
+
+    # retention respected the slow child: its interval is fully replayable
+    lag = slow.lag()
+    assert lag.versions_behind > 0 and not lag.bootstrap_required
+    assert 0 < lag.rows_behind <= 180  # batches 1-3 (intra-batch LWW shrinks)
+    results = slow.run_until_caught_up()
+    assert not any(r.bootstrapped for r in results)  # incremental, no bootstrap
+    # but expiry DID prune manifests older than the floor
+    assert min(LakeTable(spark, p_root).versions()) > 1
+
+    expected = [
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in replay(events)
+    ]
+    for root in ("f", "s"):
+        assert visible(LakeTable(spark, str(tmp_path / root))) == expected
+
+    # metadata-only interval: a caught-up child does not chase registrations
+    r = fast.sync_once()
+    assert not r.applied
+    assert fast.lag().caught_up and fast.lag().rows_behind == 0
+
+    # dead-consumer eviction: a registration far behind stops pinning
+    parent.register_consumer("dead", 2)
+    merge_change_batch(parent, events_df(spark, [ev(900, conv="zz", turn=0, t=900)]),
+                       batch_id=99)
+    parent.expire_snapshots(keep_last=2, respect_consumers=True, max_consumer_lag=3)
+    snap = LakeTable(spark, p_root).current()
+    assert "dead" not in snap.properties.get("consumers", {})
+    assert min(LakeTable(spark, p_root).versions()) > 2
