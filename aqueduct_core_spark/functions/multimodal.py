@@ -429,6 +429,11 @@ def decode_jpeg(payload: bytes) -> dict:
             comp_q = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            # restart intervals put RSTn markers inside the scan, which this
+            # reader would treat as end-of-data — refuse loudly, don't
+            # mis-decode silently
+            raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xDA:
             ns = body[0]
             if ns != 1:
