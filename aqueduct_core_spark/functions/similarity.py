@@ -108,22 +108,38 @@ def auto_lsh_size(
     target_bucket: int = 32,
     base_nbits: int = 8,
     base_tables: int = 4,
+    threshold: float | None = None,
+    max_tables_factor: int = 8,
 ) -> tuple[int, int]:
     """In-engine default sizing for hyperplane LSH (the PLANS.md rule made
     code, like ``fat_bucket_cap`` / ``max_doc_freq`` are for the dedup ops):
 
       nbits    = max(base_nbits, ceil(log2(n / target_bucket)))
-      n_tables = base_tables + (nbits - base_nbits)
+      n_tables = recall-matched growth from base_tables (below)
 
     With nbits fixed, bucket occupancy grows linearly with the corpus and
     candidate-pair volume quadratically; keeping expected occupancy at
-    ~target_bucket keeps candidate work near-linear in n. Each extra bit
-    halves occupancy but costs recall one factor of p_bit per table; one
-    extra table per extra bit more than restores it in the near-dup regime
-    (pairs of interest sit far above threshold, p_bit ≈ 1), measured at sf1:
-    nbits 8→11 at identical output, 2.9x faster (PLANS.md)."""
+    ~target_bucket keeps candidate work near-linear in n.
+
+    Each extra bit multiplies a pair's per-table collision probability by
+    p_bit = 1 - arccos(threshold)/pi (the hyperplane-LSH collision law), so
+    holding recall AT the threshold constant requires
+    n_tables = base_tables * (1/p_bit)^(nbits - base_nbits). That factor is
+    ~1.1/bit for true near-dups (threshold 0.95) but ~1.6/bit at a loose
+    threshold like 0.4 — measured at 20k vectors, the naive one-table-per-bit
+    rule silently dropped 35% of the t=0.4 pair set. With threshold=None the
+    near-dup-regime linear rule (one extra table per bit) applies.
+    Table growth is capped at base_tables * max_tables_factor; candidate
+    volume still wins asymptotically because tables grow geometrically-in-
+    bits while per-bucket pair volume shrinks 2x per bit."""
     nbits = max(base_nbits, math.ceil(math.log2(max(int(n), 1) / target_bucket)))
-    return nbits, base_tables + (nbits - base_nbits)
+    extra_bits = nbits - base_nbits
+    if threshold is None:
+        n_tables = base_tables + extra_bits
+    else:
+        p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+        n_tables = math.ceil(base_tables * (1.0 / max(p_bit, 1e-6)) ** extra_bits)
+    return nbits, min(n_tables, base_tables * max_tables_factor)
 
 
 def _candidate_pairs(
@@ -178,7 +194,9 @@ def ann_neardup_pairs(
     nbits/n_tables to pin the bucketing (the contract query does, so its
     oracle twin can embed the same constants)."""
     if nbits is None:
-        nbits, auto_tables = auto_lsh_size(df.select(id_col).count())
+        nbits, auto_tables = auto_lsh_size(
+            df.select(id_col).count(), threshold=threshold
+        )
         if n_tables is None:
             n_tables = auto_tables
     elif n_tables is None:

@@ -46,6 +46,14 @@ def test_auto_lsh_size_formula():
     # monotone non-decreasing in n
     sizes = [auto_lsh_size(n)[0] for n in (10, 1_000, 10_000, 10**6, 10**9)]
     assert sizes == sorted(sizes)
+    # threshold-aware recall matching: tables grow by (1/p_bit)^extra_bits,
+    # p_bit = 1 - arccos(t)/pi — steep at loose thresholds, gentle for true
+    # near-dups (measured: the linear rule dropped 35% of the t=0.4 pair set
+    # at 20k vectors; the matched rule holds the recall curve at the threshold)
+    assert auto_lsh_size(20_000, threshold=0.4) == (10, 11)
+    assert auto_lsh_size(50_000, threshold=0.95) == (11, 6)
+    # growth is capped (candidate volume still shrinks 2x per bit)
+    assert auto_lsh_size(10**9, threshold=0.1)[1] == 32
 
 
 def _corpus(spark):
@@ -73,7 +81,7 @@ def corpus(spark):
 
 def test_auto_sized_equals_pinned_with_fewer_candidates(spark, corpus):
     n = corpus.count()
-    nbits_auto, ntab_auto = auto_lsh_size(n)
+    nbits_auto, ntab_auto = auto_lsh_size(n, threshold=0.9)  # what auto uses
     assert nbits_auto > 8  # auto-sizing actually engaged at this scale
 
     pinned = ann_neardup_pairs(
