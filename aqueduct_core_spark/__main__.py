@@ -179,6 +179,7 @@ def cmd_chain(args) -> int:
         n_buckets=args.buckets,
         merge_mode=args.mode,
         writer_id=args.writer_id,
+        register_offset=args.register_offset,
     )
     if args.lag_only:
         # gauge without syncing: the registry's per-node offset-lag endpoint
@@ -268,6 +269,12 @@ def main(argv=None) -> int:
     ph.add_argument(
         "--lag-only", action="store_true",
         help="report versions/rows-behind without syncing (offset-lag gauge)",
+    )
+    ph.add_argument(
+        "--register-offset", action="store_true",
+        help="report the applied version into the parent's consumers property "
+        "so expire_snapshots(respect_consumers=True) keeps this child's "
+        "resume interval alive",
     )
     ph.set_defaults(fn=cmd_chain)
 

@@ -112,3 +112,12 @@ def test_ingest_cli_quarantine_and_auto_compact(spark, tmp_path, capsys):
     got = [(r["conv_id"], r["turn_idx"], r["text"])
            for r in read_transcripts(t).orderBy("conv_id", "turn_idx").collect()]
     assert got == expected
+
+
+def test_chain_cli_register_offset(spark, tmp_path, capsys):
+    p_root = str(tmp_path / "p")
+    build_parent(spark, p_root)
+    assert main(["chain", "--parent", p_root, "--table", str(tmp_path / "ch"),
+                 "--buckets", "4", "--writer-id", "edge", "--register-offset"]) == 0
+    consumers = LakeTable(spark, p_root).current().properties.get("consumers", {})
+    assert consumers.get("edge") == 3  # the applied parent version
