@@ -25,10 +25,39 @@ Per-method object-store mapping (what the swap implementation does):
 
 from __future__ import annotations
 
+import io
 import os
 import shutil
+import struct
 import uuid
 from typing import Iterator
+
+
+def _footer_stats(md) -> dict:
+    """Fold a pyarrow FileMetaData into {rows, columns: {name: (min,max)|None}}.
+
+    Shared by every FS implementation so footer semantics cannot drift between
+    the local and object-store paths. Columns where ANY row group lacks usable
+    min/max statistics map to None (an unusable bound must not silently narrow)."""
+    cols: dict = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                cols[name] = None
+                continue
+            prev = cols.get(name)
+            if prev is None and name in cols:
+                continue  # an earlier row group lacked stats -> unusable
+            lo, hi = (st.min, st.max) if prev is None else (
+                min(prev[0], st.min),
+                max(prev[1], st.max),
+            )
+            cols[name] = (lo, hi)
+    return {"rows": md.num_rows, "columns": cols}
 
 
 class LocalFS:
@@ -69,26 +98,7 @@ class LocalFS:
         Columns without usable stats map to None."""
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
-        cols: dict = {}
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                col = rg.column(c_i)
-                name = col.path_in_schema
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    cols[name] = None
-                    continue
-                prev = cols.get(name)
-                if prev is None and name in cols:
-                    continue  # an earlier row group lacked stats -> unusable
-                lo, hi = (st.min, st.max) if prev is None else (
-                    min(prev[0], st.min),
-                    max(prev[1], st.max),
-                )
-                cols[name] = (lo, hi)
-        return {"rows": md.num_rows, "columns": cols}
+        return _footer_stats(pq.ParquetFile(path).metadata)
 
     def publish_if_absent(self, text: str, final_path: str) -> None:
         """Atomically create final_path with `text` iff it does not exist;
@@ -103,6 +113,215 @@ class LocalFS:
             os.link(tmp, final_path)  # atomic create-if-absent
         finally:
             os.unlink(tmp)
+
+
+class _TailSlice(io.RawIOBase):
+    """File-like view that serves only the final `len(tail)` bytes of a
+    `full_size`-byte file. pyarrow's footer parse (seek to size-8, read the
+    footer length, seek back, read the footer) never leaves that window, so
+    parquet metadata decodes from a single ranged GET with no data-page I/O.
+    Any read outside the fetched range raises — a correctness guard, not a
+    fallback path."""
+
+    def __init__(self, tail: bytes, full_size: int):
+        self._tail = tail
+        self._size = full_size
+        self._off = full_size - len(tail)
+        self._pos = 0
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = pos
+        elif whence == 1:
+            self._pos += pos
+        else:
+            self._pos = self._size + pos
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        start = self._pos - self._off
+        if start < 0:
+            raise OSError(
+                f"read at {self._pos} is outside the fetched tail range "
+                f"[{self._off}, {self._size})"
+            )
+        data = self._tail[start : start + n]
+        self._pos += len(data)
+        return data
+
+
+class HadoopFS:
+    """Control plane over the Hadoop FileSystem API via Spark's JVM gateway —
+    the SAME interface every cluster storage connector implements (HDFS, S3A,
+    GCS, ABFS). Each call resolves the filesystem from the path's URI scheme,
+    so the identical code that runs here over `file://` operates on
+    `s3a://bucket/...` table roots on a real cluster with zero changes; this
+    class is the swap-in the LocalFS docstring promises (the Iceberg
+    HadoopFileIO role).
+
+    Scheme-specific notes, mirroring the per-method mapping above:
+      - publish_if_absent -> FileSystem.create(path, overwrite=false). On HDFS
+        that is an atomic namenode create (the HadoopTableOperations commit
+        primitive); on S3A with conditional-create enabled it is the
+        If-None-Match: * PUT. The local-scheme leg is check-then-create inside
+        the JVM — not atomic across processes, which is why LocalFS (hard-link
+        based) stays the default for this sandbox and HadoopFS is exercised by
+        tests as the cluster-parity path.
+      - parquet_footer -> ONE ranged read of the file tail (S3A random-mode
+        semantics): open, seek(size - tail), read to EOF, decode the footer
+        from the slice. No data pages are transferred.
+      - The local scheme is unwrapped to the raw (checksum-free) filesystem:
+        object-store connectors write no `.crc` side files, and neither should
+        this leg, or data-file listings would see phantom entries.
+    """
+
+    _TAIL_BYTES = 1 << 20  # first footer fetch; re-fetched exact if larger
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+
+    # ------------------------------------------------------------- plumbing
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def _fs(self, p):
+        fs = p.getFileSystem(self._conf)
+        try:
+            fs = fs.getRawFileSystem()  # ChecksumFileSystem wrapper (local only)
+        except Exception:
+            pass  # HDFS/S3A/... are not checksum-wrapped
+        return fs
+
+    @staticmethod
+    def _translate(e: Exception) -> Exception:
+        """Map JVM IOExceptions onto the seam's Python contract: already-exists
+        -> FileExistsError (the CAS-lost signal), not-found -> FileNotFoundError,
+        anything else -> OSError (which RetryingFS treats as transient)."""
+        jname = ""
+        jmsg = str(e)
+        je = getattr(e, "java_exception", None)
+        if je is not None:
+            try:
+                jname = je.getClass().getName()
+                jmsg = je.getMessage() or jmsg
+            except Exception:
+                pass
+        if "AlreadyExists" in jname or "already exists" in jmsg.lower():
+            return FileExistsError(jmsg)
+        if "NotFound" in jname or "does not exist" in jmsg.lower():
+            return FileNotFoundError(jmsg)
+        return OSError(jmsg)
+
+    @staticmethod
+    def _to_str(jpath) -> str:
+        uri = jpath.toUri()
+        if uri.getScheme() in (None, "file"):
+            return uri.getPath()
+        return jpath.toString()
+
+    def _read_from(self, fs, p, pos: int) -> bytes:
+        """seek(pos) + read-to-EOF — py4j returns the Java byte[] as bytes."""
+        stream = fs.open(p)
+        try:
+            if pos:
+                stream.seek(pos)
+            return bytes(self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+
+    # ------------------------------------------------------------- interface
+    def exists(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs(p).exists(p))
+
+    def isdir(self, path: str) -> bool:
+        p = self._p(path)
+        fs = self._fs(p)
+        return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+    def makedirs(self, path: str) -> None:
+        p = self._p(path)
+        self._fs(p).mkdirs(p)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        try:
+            return [st.getPath().getName() for st in self._fs(p).listStatus(p)]
+        except Exception as e:
+            raise self._translate(e) from None
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        p = self._p(root)
+        fs = self._fs(p)
+        if not fs.exists(p):
+            return
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            yield self._to_str(it.next().getPath())
+
+    def remove(self, path: str) -> None:
+        p = self._p(path)
+        if not self._fs(p).delete(p, False):
+            raise FileNotFoundError(path)
+
+    def rmtree(self, path: str) -> None:
+        p = self._p(path)
+        self._fs(p).delete(p, True)  # recursive; absent path is a no-op
+
+    def read_text(self, path: str) -> str:
+        p = self._p(path)
+        try:
+            return self._read_from(self._fs(p), p, 0).decode("utf-8")
+        except Exception as e:
+            if isinstance(e, (FileExistsError, FileNotFoundError, UnicodeDecodeError)):
+                raise
+            raise self._translate(e) from None
+
+    def parquet_footer(self, path: str) -> dict:
+        import pyarrow.parquet as pq
+
+        p = self._p(path)
+        fs = self._fs(p)
+        size = fs.getFileStatus(p).getLen()
+        tail_len = min(size, self._TAIL_BYTES)
+        tail = self._read_from(fs, p, size - tail_len)
+        # parquet tail: [... footer | 4-byte footer length LE | "PAR1"]
+        footer_len = struct.unpack("<I", tail[-8:-4])[0]
+        if footer_len + 8 > tail_len:
+            tail = self._read_from(fs, p, size - (footer_len + 8))
+        md = pq.read_metadata(_TailSlice(tail, size))
+        return _footer_stats(md)
+
+    def publish_if_absent(self, text: str, final_path: str) -> None:
+        p = self._p(final_path)
+        fs = self._fs(p)
+        if fs.exists(p):
+            raise FileExistsError(final_path)
+        try:
+            out = fs.create(p, False)
+        except Exception as e:
+            raise self._translate(e) from None
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            try:
+                out.hsync()  # durable on HDFS; local raw FS may not support it
+            except Exception:
+                pass
+        finally:
+            out.close()
 
 
 class TransientStorageError(OSError):
