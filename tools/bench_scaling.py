@@ -27,16 +27,31 @@ def wait_healthy(min_membw_16p: float, timeout_s: float, interval_s: float):
     bandwidth-bound job's scaling regardless of code). Returns
     (final_probe, history). On timeout returns the last probe with
     healthy=False — the caller records the gate history so a FAIL is
-    attributable to the environment with data."""
+    attributable to the environment with data.
+
+    The gate requires AQ_SCALE_GATE_STREAK consecutive healthy probes
+    (default 3) spaced AQ_SCALE_GATE_STREAK_GAP_S apart (default 45 s):
+    campaign v5 (BENCH.md) proved a single point-sample probe can read
+    85 GB/s while the surrounding minutes are troughed — the co-tenant
+    oscillation period dropped below leg length, so only SUSTAINED health
+    says a multi-minute leg has a chance. A streak is still no guarantee
+    (hence the bracketing probes around each leg stay), but it stops
+    burning 10-minute leg pairs on single-sample spikes."""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from host_health import probe
 
+    streak_need = max(1, int(os.environ.get("AQ_SCALE_GATE_STREAK", "3")))
+    streak_gap = float(os.environ.get("AQ_SCALE_GATE_STREAK_GAP_S", "45"))
     history = []
+    streak = 0
     deadline = time.monotonic() + timeout_s
     while True:
         h = probe()
         h["gate_membw_16p_min"] = min_membw_16p
-        h["gate_ok"] = h["membw_16p_GBs"] >= min_membw_16p
+        probe_ok = h["membw_16p_GBs"] >= min_membw_16p
+        streak = streak + 1 if probe_ok else 0
+        h["gate_streak"] = f"{streak}/{streak_need}"
+        h["gate_ok"] = streak >= streak_need
         history.append(h)
         if h["gate_ok"] or time.monotonic() >= deadline:
             return h, history
@@ -45,7 +60,7 @@ def wait_healthy(min_membw_16p: float, timeout_s: float, interval_s: float):
             file=sys.stderr,
             flush=True,
         )
-        time.sleep(interval_s)
+        time.sleep(streak_gap if probe_ok else interval_s)
 
 
 def run_one(cpus: int, n_events: int) -> dict:
