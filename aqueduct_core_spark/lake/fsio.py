@@ -305,15 +305,15 @@ class HadoopFS:
         md = pq.read_metadata(_TailSlice(tail, size))
         return _footer_stats(md)
 
-    def publish_if_absent(self, text: str, final_path: str) -> None:
-        p = self._p(final_path)
-        fs = self._fs(p)
-        if fs.exists(p):
-            raise FileExistsError(final_path)
-        try:
-            out = fs.create(p, False)
-        except Exception as e:
-            raise self._translate(e) from None
+    #: schemes whose create() uploads the WHOLE object atomically at close()
+    #: (a reader can never observe a partial body, and with conditional create
+    #: enabled the create IS the CAS) — temp+rename would be WORSE there:
+    #: object-store rename is copy+delete, neither atomic nor conditional.
+    _OBJECT_STORE_SCHEMES = frozenset(
+        {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos"}
+    )
+
+    def _write_stream(self, out, text: str) -> None:
         try:
             out.write(bytearray(text.encode("utf-8")))
             try:
@@ -322,6 +322,45 @@ class HadoopFS:
                 pass
         finally:
             out.close()
+
+    def publish_if_absent(self, text: str, final_path: str) -> None:
+        p = self._p(final_path)
+        fs = self._fs(p)
+        if fs.exists(p):
+            raise FileExistsError(final_path)
+        scheme = p.toUri().getScheme()
+        if scheme in self._OBJECT_STORE_SCHEMES:
+            # single conditional PUT of the full object (If-None-Match: *)
+            try:
+                out = fs.create(p, False)
+            except Exception as e:
+                raise self._translate(e) from None
+            self._write_stream(out, text)
+            return
+        # HDFS-like (hdfs/viewfs/file/...): create(path, overwrite=false)
+        # makes the final path visible BEFORE the body is written — a
+        # concurrent read_text could observe an empty/truncated manifest, and
+        # a crash mid-write leaves a corrupt file permanently occupying the
+        # version slot (the next try_commit sees a conflict; current() then
+        # fails parsing). So: write the whole body to a temp sibling, then
+        # commit with the namenode's atomic rename, which FAILS when the
+        # destination exists — the final path only ever holds a complete
+        # manifest (Iceberg HadoopTableOperations' commit shape). A crashed
+        # attempt leaves only a .tmp orphan that never occupies the slot.
+        tmp = self._p(final_path + f".tmp.{uuid.uuid4().hex}")
+        try:
+            out = fs.create(tmp, False)
+        except Exception as e:
+            raise self._translate(e) from None
+        self._write_stream(out, text)
+        try:
+            renamed = bool(fs.rename(tmp, p))
+        except Exception as e:
+            fs.delete(tmp, False)
+            raise self._translate(e) from None
+        if not renamed:
+            fs.delete(tmp, False)
+            raise FileExistsError(final_path)  # CAS lost: dst exists
 
 
 class TransientStorageError(OSError):

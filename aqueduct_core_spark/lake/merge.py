@@ -314,14 +314,25 @@ def merge_change_batch(
                 # FileExistsError. The files are LIVE — discarding them would
                 # corrupt the table. Report the commit that happened.
                 return MergeResult(batch_id, False, cur.version, list(affected))
-            # our attempt's files are unreferenced either way now
-            table.discard_files(new_files)
             if cur.txn.get(writer_id, -1) >= batch_id:
-                # zombie twin: another instance of THIS writer already applied
-                # this batch_id — idempotence says skip, not re-apply
+                # The watermark says this batch is applied. Either (a) OUR
+                # ambiguous-success commit landed and a concurrent compaction
+                # already folded our delta files out of `cur` — they are gone
+                # from the head but still referenced by retained historical
+                # manifests (read_changes / snapshot_at), so deleting them
+                # would break chained consumers inside the retention window —
+                # or (b) a zombie twin of this writer applied the same
+                # batch_id and our files are true orphans. The head manifest
+                # cannot distinguish the two, so do NOT discard: a bounded
+                # orphan leak in the rare twin case beats corrupting
+                # retained history (expire_snapshots' orphan sweep cannot see
+                # these either, but a twin requires two live instances of one
+                # writer id — already out of contract).
                 return MergeResult(batch_id, True, None, [])
-            # genuine conflict with a different writer: optimistic retry,
-            # same as Iceberg commit conflicts
+            # genuine conflict with a different writer — our attempt's files
+            # are unreferenced by any manifest (our commit never landed):
+            # reclaim them and retry optimistically, same as Iceberg
+            table.discard_files(new_files)
             continue
 
 
@@ -400,13 +411,24 @@ def read_resolved(
 
     `ranges` ({col: (lo, hi)}, either bound None) filters the RESOLVED view —
     the row filter is always applied AFTER LWW resolution, so semantics are
-    identical across modes. On a fully-resolved snapshot (COW, or MOR after
-    compaction folded every delta) the same ranges additionally drive
-    manifest-stats FILE SKIPPING, so a time/offset-windowed read opens only
-    the files that can contain matches. With live delta files file skipping is
-    deliberately disabled: dropping an old file by stats could discard the
-    (ts,_lsn) winner that suppresses a newer losing row and resurrect it
-    (tests/test_lake_stats.py pins this scenario).
+    identical across modes. The same ranges additionally drive manifest-stats
+    FILE SKIPPING, applied PER BUCKET: LWW resolution is per-key and a key
+    lives in exactly one bucket, so only buckets holding live delta files
+    must keep every file open (dropping an old file there could discard the
+    (ts,_lsn) winner that suppresses a newer losing row and resurrect it —
+    tests/test_lake_stats.py pins this at the bucket boundary). Buckets whose
+    files are all base are fully resolved (COW rewrites and compaction folds
+    replace a bucket's whole file set in one commit), so a time/offset-
+    windowed read there opens only the files that can contain matches. On a
+    continuously-ingesting MOR table some bucket always has a delta; the
+    per-bucket scope is what keeps windowed reads O(matching files) instead
+    of O(all files) — the lake form of the reference's offset-indexed page
+    read (SQLiteQueries.java:77-99 never scans outside the requested window).
+
+    Resolution cost follows the same boundary: only the delta-holding buckets
+    are shuffled through resolve_lww; fully-resolved buckets stream straight
+    from their base files and union in exchange-free. On a mostly-compacted
+    table the resolve shuffle is O(dirty buckets' data), not O(table).
 
     `bucketed_output=True` (requires with_bucket_col) returns the view
     hash-partitioned by BUCKET_COL at the table's write parallelism, with any
@@ -416,35 +438,70 @@ def read_resolved(
     if bucketed_output:
         with_bucket_col = True  # the bucketed contract includes the column
     snap = table.current() if version is None else table.snapshot_at(version)
-    has_delta = any(f.get("kind", "base") == "delta" for f in snap.files)
-    df = table.read(
-        buckets=buckets,
-        version=version,
-        with_bucket_col=with_bucket_col or has_delta or bucketed_output,
-        prune_ranges=None if has_delta else ranges,
+    # Pin every read below to THIS snapshot: with version=None, letting
+    # table.read re-resolve "current" could race a concurrent commit between
+    # the manifest reads and mix two versions' file sets.
+    ver = snap.version
+    delta_buckets = {
+        f["bucket"] for f in snap.files if f.get("kind", "base") == "delta"
+    }
+    scope = (
+        sorted(set(buckets))
+        if buckets is not None
+        else sorted({f["bucket"] for f in snap.files})
     )
+    dirty = [b for b in scope if b in delta_buckets]
+    clean = [b for b in scope if b not in delta_buckets]
     if bucketed_output:
+        # writer path: one exchange over the whole scope (the write must be
+        # partitioned by bucket anyway); file skipping still applies to the
+        # delta-free buckets' base files via the exempt set
+        df = table.read(
+            buckets=buckets,
+            version=ver,
+            with_bucket_col=True,
+            prune_ranges=ranges,
+            prune_exempt_buckets=delta_buckets,
+        )
         df = df.repartition(table.write_parallelism(snap), F.col(BUCKET_COL))
-        out = resolve_lww(df, group_prefix=(BUCKET_COL,)) if has_delta else df
-    elif has_delta:
-        # Plain reads resolve on the same single-exchange plan as writers,
-        # but partitioned by (bucket, conv_id): HashPartitioning on that pair
-        # still satisfies both the LWW aggregation's ClusteredDistribution
-        # (subset of (bucket, conv_id, turn_idx)) and the cascade window's
-        # (exactly (bucket, conv_id)), so the read keeps ONE exchange while
-        # its parallelism scales with key cardinality, not n_buckets — one
-        # hot bucket no longer serializes into one task. Only the write path
-        # must partition by bucket alone (it must match the file layout).
-        # Partition count deliberately unpinned — spark.sql.shuffle.partitions
-        # (and AQE coalescing) size the read.
-        out = resolve_lww(
-            df.repartition(F.col(BUCKET_COL), F.col("conv_id")),
+        out = resolve_lww(df, group_prefix=(BUCKET_COL,)) if dirty else df
+    elif not dirty:
+        out = table.read(
+            buckets=buckets,
+            version=ver,
+            with_bucket_col=with_bucket_col,
+            prune_ranges=ranges,
+        )
+    else:
+        # Dirty buckets resolve on ONE exchange partitioned by
+        # (bucket, conv_id): HashPartitioning on that pair satisfies both the
+        # LWW aggregation's ClusteredDistribution (subset of
+        # (bucket, conv_id, turn_idx)) and the cascade window's (exactly
+        # (bucket, conv_id)), so resolution parallelism scales with key
+        # cardinality, not n_buckets — one hot bucket no longer serializes
+        # into one task. Partition count deliberately unpinned —
+        # spark.sql.shuffle.partitions (and AQE coalescing) size the read.
+        # NO file skipping on this side: every file in a dirty bucket may
+        # hold a suppressing winner.
+        d = table.read(buckets=dirty, version=ver, with_bucket_col=True)
+        res = resolve_lww(
+            d.repartition(F.col(BUCKET_COL), F.col("conv_id")),
             group_prefix=(BUCKET_COL,),
         )
         if not with_bucket_col:
-            out = out.drop(BUCKET_COL)
-    else:
-        out = df
+            res = res.drop(BUCKET_COL)
+        if clean:
+            # delta-free buckets: already resolved at write — no shuffle,
+            # and range stats skip their base files
+            c = table.read(
+                buckets=clean,
+                version=ver,
+                with_bucket_col=with_bucket_col,
+                prune_ranges=ranges,
+            )
+            out = res.unionByName(c)
+        else:
+            out = res
     if ranges:
         for col, (lo, hi) in ranges.items():
             if lo is not None:

@@ -210,6 +210,7 @@ class LakeTable:
         version: int | None = None,
         with_bucket_col: bool = False,
         prune_ranges: dict | None = None,
+        prune_exempt_buckets: set[int] | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally pruned to a bucket set (manifest-level pruning:
         files in other buckets are never listed, opened, or scheduled).
@@ -220,8 +221,12 @@ class LakeTable:
         snapshot with delta files it is NOT equivalent to filtering the
         LWW-resolved view (an old file may hold the (ts,_lsn) winner that
         suppresses a newer losing row — dropping it would resurrect the loser).
-        Use `merge.read_resolved(..., ranges=...)`, which applies the skip only
-        when the snapshot is fully resolved, for resolved-view semantics."""
+        LWW resolution is per-key and a key lives in exactly one bucket, so the
+        hazard is bucket-local: `prune_exempt_buckets` names the buckets whose
+        files must never be skipped (the ones holding live delta files), while
+        fully-resolved buckets keep skipping. Use
+        `merge.read_resolved(..., ranges=...)`, which derives the exempt set
+        from the manifest, for resolved-view semantics."""
         snap = self.current() if version is None else self.snapshot_at(version)
         target_schema = snap.schema()
         files = snap.files
@@ -229,7 +234,12 @@ class LakeTable:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
         if prune_ranges:
-            files = [f for f in files if _file_may_match(f, prune_ranges)]
+            exempt = prune_exempt_buckets or set()
+            files = [
+                f
+                for f in files
+                if f["bucket"] in exempt or _file_may_match(f, prune_ranges)
+            ]
         df = self.read_entries(files, snap)
         if with_bucket_col:
             df = df.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))

@@ -292,6 +292,32 @@ class IngestEngine:
         table = LakeTable(self.spark, self.table_root)
 
         df = batch_df
+        bad_obs = bad = None
+        if self.quarantine_dir is not None:
+            # Dead-letter split (reference analog: per-message rejected-write
+            # errors; here a quarantine table). MUST run BEFORE the
+            # entity/routing/resume filters: a malformed event is unorderable
+            # (NULL lsn/ts) or keyless, and three-valued logic would silently
+            # drop it from every filter below (NULL > min_lsn is NULL, NULL
+            # entity fails isin) instead of landing it in the DLQ.
+            #
+            # Single-pass accounting: the malformed count rides as an
+            # Observation metric on the batch scan the merge/lineage jobs
+            # already run — zero extra jobs on a clean batch; the quarantine
+            # append is the ONLY extra job and fires only when malformed rows
+            # exist (asserted in tests/test_quarantine.py).
+            from pyspark.sql import Observation
+
+            from aqueduct_core_spark.lake.merge import malformed_reason, split_malformed
+
+            bad_obs = Observation()
+            df = df.observe(
+                bad_obs,
+                F.coalesce(
+                    F.sum(malformed_reason().isNotNull().cast("long")), F.lit(0)
+                ).alias("bad"),
+            )
+            df, bad = split_malformed(df)
         if self.entity_filter:
             # reference F1 type filter (PostgresqlStorage.java:462)
             df = df.filter(F.col("entity").isin(self.entity_filter))
@@ -302,19 +328,6 @@ class IngestEngine:
             # reference F2 offset floor: the client resumes from its own
             # offset on a fresh upstream (HttpPipeClient /pipe/{offset})
             df = df.filter(F.col("change_lsn") > F.lit(int(self.min_lsn)))
-        if self.quarantine_dir is not None:
-            # dead-letter split (reference analog: per-message rejected-write
-            # errors; here a quarantine table). The append is its own tiny
-            # job; the clean side flows into the one-exchange merge unchanged.
-            from aqueduct_core_spark.lake.merge import split_malformed
-
-            df, bad = split_malformed(df)
-            n_bad = bad.count()
-            if n_bad:
-                bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(self.quarantine_dir)
-            self.metrics.events_quarantined += n_bad
         if self.transform is not None:
             # Arrow-vectorized payload transform (pandas UDF, no per-row Python)
             df = self.transform(df)
@@ -370,6 +383,29 @@ class IngestEngine:
                 pass
             raise
         agg_rows = agg_fut.result()
+        if bad_obs is not None:
+            # non-blocking: the lineage collect above executed the observed
+            # plan (it runs even when the merge skipped a replayed batch), so
+            # the metric is already resolved
+            try:
+                n_bad = int(bad_obs.get["bad"])
+            except Exception:
+                # When the first completed action aggregates the clean side
+                # to ZERO rows (an all-malformed or empty batch), AQE's
+                # empty-relation propagation wipes the CollectMetrics node
+                # and the observed row comes back length-0 (PySpark's get
+                # then throws). Degenerate-batch fallback: count the bad
+                # side directly — one extra scan, paid only when the clean
+                # side was empty.
+                n_bad = bad.count()
+            if n_bad:
+                # the one extra job, paid only when malformed rows exist;
+                # at-least-once (a crash before the checkpoint re-appends on
+                # replay) — dedup downstream by (change_lsn, _reason) if needed
+                bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(self.quarantine_dir)
+            self.metrics.events_quarantined += n_bad
         batch_rows = sum(int(r["n"]) for r in agg_rows)
         batch_ts = [r["mt"] for r in agg_rows if r["mt"] is not None]
         if batch_ts:

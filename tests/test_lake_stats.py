@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from aqueduct_core_spark.lake.merge import merge_change_batch, read_resolved
 from aqueduct_core_spark.lake.table import LakeTable, bucket_expr
-from aqueduct_core_spark.maintenance import compact_table
+from aqueduct_core_spark.maintenance import compact_bucket_range, compact_table
 from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
 
 from tests.util import ev, events_df, ts
@@ -104,6 +104,96 @@ def test_mor_delta_skip_disabled_prevents_resurrection(spark, tmp_path):
     # counterfactual: a PHYSICAL stats skip on the raw read resurrects the loser
     raw_skip = t.read(prune_ranges={"_lsn": (8, None)})
     assert [r["_lsn"] for r in raw_skip.collect()] == [10]
+
+
+def _bucket_of(spark, conv):
+    return (
+        spark.createDataFrame([(conv,)], "conv_id string")
+        .withColumn("b", bucket_expr("conv_id", N_BUCKETS))
+        .collect()[0]["b"]
+    )
+
+
+def _live_mor_with_clean_buckets(spark, tmp_path):
+    """A live MOR table where bucket(A) holds delta files (with a
+    resurrection trap: winner lsn=5 ts=100 suppresses loser lsn=10 ts=50)
+    while buckets B and C are fully compacted base files with disjoint
+    _lsn ranges (B: 100-119, C: 200-219)."""
+    conv_a, conv_b, conv_c = distinct_bucket_convs(spark, 3)
+    t = make_table(spark, str(tmp_path / "t"), "mor")
+    b0 = [ev(5, conv=conv_a, turn=0, t=100)] + [
+        ev(100 + j, conv=conv_b, turn=j, t=100 + j) for j in range(20)
+    ]
+    merge_change_batch(t, events_df(spark, b0), batch_id=0)
+    b1 = [ev(10, op="U", conv=conv_a, turn=0, t=50)] + [
+        ev(200 + j, conv=conv_c, turn=j, t=200 + j) for j in range(20)
+    ]
+    merge_change_batch(t, events_df(spark, b1), batch_id=1)
+    compact_bucket_range(
+        t,
+        tombstone_retention_ts=ts(0),
+        buckets=[_bucket_of(spark, conv_b), _bucket_of(spark, conv_c)],
+    )
+    snap = t.current()
+    kinds = {f["bucket"]: set() for f in snap.files}
+    for f in snap.files:
+        kinds[f["bucket"]].add(f.get("kind", "base"))
+    assert kinds[_bucket_of(spark, conv_a)] == {"delta"}
+    assert kinds[_bucket_of(spark, conv_b)] == {"base"}
+    assert kinds[_bucket_of(spark, conv_c)] == {"base"}
+    return t, conv_a, conv_b, conv_c
+
+
+def test_per_bucket_skip_on_live_mor(spark, tmp_path):
+    """A delta in bucket A must not block file skipping in delta-free buckets
+    B/C — and must not unlock skipping in A itself (both directions of the
+    per-bucket boundary)."""
+    t, conv_a, conv_b, conv_c = _live_mor_with_clean_buckets(spark, tmp_path)
+    snap = t.current()
+    paths_by_conv = {
+        conv: {
+            f["path"] for f in snap.files if f["bucket"] == _bucket_of(spark, conv)
+        }
+        for conv in (conv_a, conv_b, conv_c)
+    }
+
+    # window matching only bucket B's range: C's base file is skipped, A's
+    # delta files all open (exempt), result == full-filter semantics
+    win = read_resolved(t, ranges={"_lsn": (100, 150)})
+    full = read_resolved(t)
+    expect = sorted(
+        tuple(r) for r in full.filter("_lsn >= 100 AND _lsn <= 150").collect()
+    )
+    assert sorted(tuple(r) for r in win.collect()) == expect and len(expect) == 20
+    # inputFiles() returns file: URIs; manifest paths are plain — compare by
+    # substring containment
+    opened = set(win.inputFiles())
+    assert not any(q in p for p in opened for q in paths_by_conv[conv_c])
+    assert all(any(q in p for p in opened) for q in paths_by_conv[conv_a])
+
+
+def test_per_bucket_skip_no_resurrection_at_boundary(spark, tmp_path):
+    """The resurrection counterfactual at the per-bucket boundary: a window
+    that excludes bucket A's winner must not surface its suppressed loser,
+    even while B/C files are being skipped by the same window."""
+    t, conv_a, conv_b, conv_c = _live_mor_with_clean_buckets(spark, tmp_path)
+    # _lsn >= 8 excludes A's winner (lsn=5); the loser (lsn=10) must stay
+    # suppressed. B (100-119) and C (200-219) match fully.
+    res = read_resolved(t, ranges={"_lsn": (8, None)})
+    rows = res.collect()
+    assert len(rows) == 40
+    assert not any(r["conv_id"] == conv_a for r in rows)
+    # and the skip is real: a window past every clean bucket's range opens
+    # ONLY bucket A's (exempt) delta files
+    snap = t.current()
+    a_paths = {
+        f["path"] for f in snap.files if f["bucket"] == _bucket_of(spark, conv_a)
+    }
+    none_clean = read_resolved(t, ranges={"_lsn": (10**9, None)})
+    assert none_clean.count() == 0
+    opened = set(none_clean.inputFiles())
+    assert all(any(q in p for q in a_paths) for p in opened)
+    assert len(opened) == len(a_paths)
 
 
 def test_compacted_mor_prunes_again(spark, tmp_path):

@@ -80,3 +80,71 @@ def test_engine_quarantines_and_applies_clean_side(spark, tmp_path):
         .collect()
     ]
     assert got == expected
+
+
+def test_quarantine_precedes_resume_and_entity_filters(spark, tmp_path):
+    """The DLQ split runs BEFORE the entity/routing/min_lsn filters: a
+    malformed event (NULL change_lsn, NULL entity) would be silently dropped
+    by those three-valued-logic predicates (NULL > min_lsn is NULL) instead
+    of landing in quarantine — the DLQ contract says it must land."""
+    clean = [ev(i, conv=f"c{i % 3}", turn=i, t=i) for i in range(101, 111)]
+    feed = events_df(spark, clean).unionByName(
+        spark.createDataFrame([r for r, _ in _BAD_ROWS], _NULLABLE)
+    )
+    dlq = str(tmp_path / "dlq")
+    eng = IngestEngine(
+        spark, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        n_buckets=4, merge_mode="mor", quarantine_dir=dlq,
+        min_lsn=100, entity_filter=["turn", "conversation"],
+    )
+    eng.ensure_table()
+    eng.apply_batch(feed, 0)
+    eng.close()
+    # every malformed row quarantined — including the NULL-lsn one the
+    # min_lsn filter would have silently eaten
+    assert eng.metrics.events_quarantined == len(_BAD_ROWS)
+    q = spark.read.parquet(dlq)
+    assert {r["_reason"] for r in q.collect()} == {reason for _, reason in _BAD_ROWS}
+    # and the clean side still respects the resume floor
+    assert read_transcripts(LakeTable(spark, eng.table_root)).count() == len(clean)
+
+
+def _jobs_in_group(spark, tag, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+
+def test_quarantine_costs_one_extra_job_only_when_dirty(spark, tmp_path):
+    """Single-pass accounting: the malformed count rides an Observation on
+    the scan the merge already runs, so a CLEAN batch pays zero extra jobs;
+    the quarantine append is one extra job exactly when malformed rows exist.
+    (Jobs submitted from the engine's lineage thread are outside the job
+    group on both sides, so the comparison isolates the main-thread plan.)"""
+    clean_df = events_df(
+        spark, [ev(i, conv=f"c{i % 3}", turn=0, t=i) for i in range(1, 21)]
+    )
+    bad_df = spark.createDataFrame([r for r, _ in _BAD_ROWS], _NULLABLE)
+
+    def engine(tag):
+        e = IngestEngine(
+            spark, str(tmp_path / f"t{tag}"), str(tmp_path / f"c{tag}"),
+            n_buckets=4, merge_mode="mor", quarantine_dir=str(tmp_path / f"q{tag}"),
+        )
+        e.ensure_table()
+        return e
+
+    e_clean, e_dirty = engine("clean"), engine("dirty")
+    n_clean = _jobs_in_group(spark, "dlq-clean", lambda: e_clean.apply_batch(clean_df, 0))
+    n_dirty = _jobs_in_group(
+        spark, "dlq-dirty", lambda: e_dirty.apply_batch(clean_df.unionByName(bad_df), 0)
+    )
+    e_clean.close()
+    e_dirty.close()
+    assert e_clean.metrics.events_quarantined == 0
+    assert e_dirty.metrics.events_quarantined == len(_BAD_ROWS)
+    assert n_dirty == n_clean + 1
