@@ -215,7 +215,24 @@ def plan_shards(
     bounds, stats = _refined_bounds(df, order_col, n_chunks)
     if not bounds:
         if balance:
-            total = df.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            # Same EXACT integer formula as the chunked path below
+            # (shard_id = start*n_shards div total), not the rounded-budget
+            # approximation: floor(start/effective_budget) can disagree with
+            # the exact form (total=10, budget=3, start=7 → shard 2 vs 1),
+            # and this branch fires on small corpora / n_chunks=1, so shard
+            # assignment must not vary with parallelism.
+            total = int(df.agg(F.sum("n_tokens")).collect()[0][0] or 0)
+            n_shards = max(1, round(total / max(1, tokens_per_shard)))
+            if 0 < total * n_shards < (1 << 62):
+                w = Window.orderBy(order_col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+                return (
+                    df.withColumn("_sxn", (start * F.lit(n_shards)).cast("long"))
+                    .withColumn("shard_id", F.expr(f"cast(_sxn div {total} as int)"))
+                    .drop("_sxn")
+                )
             tokens_per_shard = effective_shard_budget(total, tokens_per_shard)
         return plan_shards_single(df, tokens_per_shard, order_col)
     chunked = df.withColumn("_chunk", _chunk_expr(order_col, bounds))

@@ -130,7 +130,16 @@ class ChainedConsumer:
             added, _snap = changed_entries(parent, last, pv)
         except ValueError:
             return ChainLag(pv, last, behind, None, bootstrap_required=True)
-        return ChainLag(pv, last, behind, sum(f.get("rows") or 0 for f in added))
+        # A delta entry without row stats still holds pending data — count it
+        # as at least 1 row so caught_up can never read true while un-applied
+        # files exist (rows_behind is a floor, exact when every file carries
+        # footer stats — which the engine's own writes always do).
+        return ChainLag(
+            pv,
+            last,
+            behind,
+            sum(f["rows"] if f.get("rows") is not None else 1 for f in added),
+        )
 
     def sync_once(self) -> SyncResult:
         """Apply everything the parent committed since the last sync. No-op

@@ -255,3 +255,28 @@ def test_consumer_aware_retention_keeps_resume_interval(spark, tmp_path):
     snap = LakeTable(spark, p_root).current()
     assert "dead" not in snap.properties.get("consumers", {})
     assert min(LakeTable(spark, p_root).versions()) > 2
+
+
+def test_lag_statless_delta_entries_count_pending(spark, tmp_path, monkeypatch):
+    """A delta entry WITHOUT footer row stats still holds pending data: the
+    lag gauge must count it as at least 1 row so caught_up cannot read true
+    while un-applied files exist (--lag-only must not report a stale child as
+    current just because a manifest entry lost its stats)."""
+    import aqueduct_core_spark.streaming.chain as chain_mod
+
+    events = feed_events(n=60)
+    parent = make_parent(spark, str(tmp_path / "p"))
+    merge_change_batch(parent, events_df(spark, events), batch_id=0)
+    child = ChainedConsumer(spark, str(tmp_path / "p"), str(tmp_path / "ch"))
+
+    real = chain_mod.changed_entries
+
+    def strip_stats(table, since, until):
+        added, snap = real(table, since, until)
+        return [{k: v for k, v in f.items() if k != "rows"} for f in added], snap
+
+    monkeypatch.setattr(chain_mod, "changed_entries", strip_stats)
+    lag = child.lag()
+    assert lag.versions_behind > 0 and not lag.bootstrap_required
+    assert lag.rows_behind >= 1  # floor, not 0
+    assert not lag.caught_up

@@ -204,6 +204,25 @@ def test_plan_shards_balance_no_runt_last_shard(spark):
     assert all(abs(tok - 700) <= 70 for tok in vtok.values()), vtok
 
 
+def test_plan_shards_balance_parallelism_invariant(spark):
+    """balance=True must be a deterministic function of the DATA: the
+    empty-bounds branch (small corpus / n_chunks=1) uses the same exact
+    integer formula (start*n_shards div total) as the chunked path, not the
+    rounded-budget floor — the two disagree at e.g. total=10, budget=3,
+    start=7 (exact: 7*3//10=2; rounded budget ceil(10/3)=4: 7//4=1), so the
+    old fallback made shard assignment vary with parallelism."""
+    df = spark.createDataFrame(
+        [("a", 4), ("b", 3), ("c", 3)], "conv_id string, n_tokens int"
+    )
+    want = {"a": 0, "b": 1, "c": 2}  # exact boundary-spread assignment
+    for n_chunks in (1, 2):
+        got = {
+            r["conv_id"]: r["shard_id"]
+            for r in plan_shards(df, 3, n_chunks=n_chunks, balance=True).collect()
+        }
+        assert got == want, (n_chunks, got)
+
+
 def test_plan_shards_property_random_corpora(spark):
     """Property: for random corpora, BOTH planner modes equal an exact
     driver-side reference — default mode the literal floor(cumsum/budget),
@@ -215,7 +234,7 @@ def test_plan_shards_property_random_corpora(spark):
     @given(
         n_docs=st.integers(min_value=3, max_value=120),
         budget=st.integers(min_value=5, max_value=500),
-        n_chunks=st.sampled_from([2, 5, 16]),
+        n_chunks=st.sampled_from([1, 2, 5, 16]),
         seed=st.integers(min_value=0, max_value=10_000),
     )
     def check(n_docs, budget, n_chunks, seed):
