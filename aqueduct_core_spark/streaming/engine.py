@@ -116,14 +116,50 @@ class IngestEngine:
         self._lineage_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="lineage"
         )
+        # Auto-compaction runs OFF the foreachBatch thread (the reference runs
+        # it on its own scheduler, CompactionTask.java:40-47): a triggered
+        # multi-bucket fold must not stall the ingest trigger cadence. One
+        # worker + at most one outstanding future — a second fold is never
+        # queued behind a running one; the next batch just re-checks debt.
+        self._compaction_pool = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="compaction")
+            if compaction_policy is not None
+            else None
+        )
+        self._compaction_future = None
+
+    def _harvest_compaction(self, wait: bool = False):
+        """Collect a finished (or, with wait=True, in-flight) background fold
+        into the metrics. Errors propagate — a failed fold surfaces on the
+        next batch instead of dying silently on a daemon thread."""
+        fut = self._compaction_future
+        if fut is None or (not wait and not fut.done()):
+            return
+        self._compaction_future = None
+        self.compactions_triggered += len(fut.result())
+
+    def drain_compaction(self) -> None:
+        """Block until any in-flight background fold lands (bounded: at most
+        one is ever outstanding)."""
+        self._harvest_compaction(wait=True)
 
     def close(self) -> None:
-        """Release the lineage pool thread. Idempotent."""
+        """Release the worker threads, letting an in-flight compaction land
+        (its commit is atomic and rebase-on-conflict-safe either way, but
+        waiting keeps compactions_triggered accurate). Idempotent."""
         self._lineage_pool.shutdown(wait=False, cancel_futures=True)
+        if self._compaction_pool is not None:
+            try:
+                self.drain_compaction()
+            except Exception:
+                pass  # teardown must not mask the error being handled
+            self._compaction_pool.shutdown(wait=True)
 
     def __del__(self):  # best-effort backstop; close() is the real contract
         try:
             self._lineage_pool.shutdown(wait=False, cancel_futures=True)
+            if self._compaction_pool is not None:
+                self._compaction_pool.shutdown(wait=False)
         except Exception:
             pass
 
@@ -428,12 +464,24 @@ class IngestEngine:
 
         if self.compaction_policy is not None and not result.skipped:
             # self-tuning delta-fold: manifest stats decide, per bucket —
-            # a no-op (pure driver-side check) while debt is under threshold
-            from aqueduct_core_spark.maintenance import maybe_compact
-
-            self.compactions_triggered += len(
-                maybe_compact(table, self.compaction_policy)
+            # the under-threshold path stays a pure driver-side manifest
+            # check on THIS thread; a triggered fold is submitted to the
+            # background worker so it never stalls the trigger cadence.
+            # At most one outstanding: while a fold runs, batches keep
+            # landing and only re-check debt; the harvest below also
+            # re-raises a failed fold loudly on the next batch.
+            from aqueduct_core_spark.maintenance import (
+                buckets_over_threshold,
+                maybe_compact,
             )
+
+            self._harvest_compaction()
+            if self._compaction_future is None and buckets_over_threshold(
+                table.current(), self.compaction_policy
+            ):
+                self._compaction_future = self._compaction_pool.submit(
+                    maybe_compact, table, self.compaction_policy
+                )
 
     # ------------------------------------------------------------------ run
     def run(
@@ -475,6 +523,10 @@ class IngestEngine:
         if available_now:
             query.awaitTermination(timeout_s)
             self._mark_up_to_date()
+            if self._compaction_pool is not None:
+                # the feed is drained; let the (at most one) in-flight fold
+                # land so the debt-bounded invariant holds at rest
+                self.drain_compaction()
         return query
 
     def run_adaptive(

@@ -126,3 +126,64 @@ def test_policy_compaction_races_live_writer(spark, tmp_table_dir):
     assert got == expect
     # no tombstone was GC'd by the auto path (retention=None keeps them all)
     assert table.current().properties.get("merge_mode") == "mor"
+
+
+def test_triggered_fold_does_not_stall_ingest_cadence(spark, tmp_path, monkeypatch):
+    """A policy-triggered fold runs on the background worker (the reference's
+    own-scheduler CompactionTask), so apply_batch returns while the fold is
+    still in flight and later batches keep landing at trigger cadence; at
+    most one fold is outstanding, and the harvested result still bounds debt
+    and stays oracle-exact."""
+    import aqueduct_core_spark.maintenance as maint
+
+    real = maint.maybe_compact
+    started, release = threading.Event(), threading.Event()
+
+    def gated(table, policy, **kw):
+        started.set()
+        assert release.wait(60), "test released the gate"
+        return real(table, policy, **kw)
+
+    monkeypatch.setattr(maint, "maybe_compact", gated)
+
+    policy = CompactionPolicy(max_delta_files_per_bucket=1, n_jobs=2)
+    eng = IngestEngine(
+        spark, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        n_buckets=4, merge_mode="mor", compaction_policy=policy,
+    )
+    eng.ensure_table()
+    events = [ev(i, conv=f"c{i % 7}", turn=i % 3, t=i) for i in range(1, 61)]
+    batches = [events[lo : lo + 10] for lo in range(0, 60, 10)]
+
+    applied = 0
+    for b, batch in enumerate(batches):
+        eng.apply_batch(events_df(spark, batch), b)
+        applied += 1
+        if started.is_set() and applied >= 2:
+            break
+    assert started.is_set(), "the fold was triggered"
+    # the fold is gated (in flight) — ingest keeps going regardless
+    assert eng._compaction_future is not None and not eng._compaction_future.done()
+    for b2 in range(applied, len(batches)):
+        eng.apply_batch(events_df(spark, batches[b2]), b2)
+    assert eng.metrics.batches_applied == len(batches)  # cadence never blocked
+    assert not eng._compaction_future.done()  # still exactly one outstanding
+
+    release.set()
+    eng.drain_compaction()
+    assert eng.compactions_triggered > 0
+    # let the hook catch any debt accrued while the fold was gated
+    table = LakeTable(spark, eng.table_root)
+    while buckets_over_threshold(table.current(), policy):
+        done = real(table, policy)
+        assert done
+    eng.close()
+
+    expect = [
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in replay(events)
+    ]
+    got = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in read_transcripts(table).orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert got == expect
