@@ -495,25 +495,65 @@ class LakeTable:
         max_consumer_lag versions behind is ignored (and its registration
         dropped) — the stale-node eviction contract: a reader that dead-stops
         must not pin retention forever; it bootstraps from a snapshot when it
-        returns."""
-        active: list[int] = []
-        if respect_consumers:
+        returns.
+
+        Registration-vs-expiry race: the keep-set decision is CAS-serialized
+        through a `retention_floor` property commit (stale evictions ride the
+        same commit). A consumer registering concurrently lands its own
+        manifest commit, which makes OUR commit conflict — the loop then
+        recomputes the keep set with that consumer visible, so a registration
+        ordered before the floor commit can never lose its resume floor. A
+        registration ordered after it is, by that serialization, too late for
+        THIS expiry (its version can only be below the floor if the consumer
+        was already laggard enough to be in bootstrap territory)."""
+        while True:
+            active: list[int] = []
+            evicted: list[str] = []
             cur = self.current()
-            consumers = dict(cur.properties.get("consumers", {}))
-            stale = [
-                cid
-                for cid, v in consumers.items()
-                if max_consumer_lag is not None and cur.version - int(v) > max_consumer_lag
-            ]
-            for cid in stale:
-                self.unregister_consumer(cid)  # appends manifests — list after
-            active = [int(v) for cid, v in consumers.items() if cid not in stale]
-        versions = self.versions()
-        if len(versions) <= keep_last:
-            return 0
-        keep = set(versions[-keep_last:])
-        if active:
-            keep.update(v for v in versions if v >= min(active))
+            if respect_consumers:
+                consumers = dict(cur.properties.get("consumers", {}))
+                stale = [
+                    cid
+                    for cid, v in consumers.items()
+                    if max_consumer_lag is not None
+                    and cur.version - int(v) > max_consumer_lag
+                ]
+                evicted = stale
+                active = [int(v) for cid, v in consumers.items() if cid not in stale]
+            versions = self.versions()
+            if len(versions) <= keep_last:
+                return 0
+            keep = set(versions[-keep_last:])
+            if active:
+                keep.update(v for v in versions if v >= min(active))
+            if not respect_consumers:
+                break
+            props = dict(cur.properties)
+            if evicted:
+                props["consumers"] = {
+                    cid: v
+                    for cid, v in dict(props.get("consumers", {})).items()
+                    if cid not in evicted
+                }
+            props["retention_floor"] = min(keep)
+            nxt = Snapshot(
+                version=cur.version + 1,
+                current_schema_id=cur.current_schema_id,
+                schemas=cur.schemas,
+                n_buckets=cur.n_buckets,
+                bucket_key=cur.bucket_key,
+                files=cur.files,
+                txn=cur.txn,
+                properties=props,
+                parent=cur.version,
+                committed_at=time.time(),
+            )
+            try:
+                self.try_commit(nxt)
+                keep.add(nxt.version)  # the floor commit itself is the head
+                break
+            except CommitConflict:
+                continue  # racing registration/commit — recompute keep set
         live: set[str] = set()
         for v in keep:
             live.update(f["path"] for f in self.snapshot_at(v).files)

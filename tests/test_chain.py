@@ -280,3 +280,51 @@ def test_lag_statless_delta_entries_count_pending(spark, tmp_path, monkeypatch):
     assert lag.versions_behind > 0 and not lag.bootstrap_required
     assert lag.rows_behind >= 1  # floor, not 0
     assert not lag.caught_up
+
+
+def test_registration_racing_expiry_keeps_resume_floor(spark, tmp_path, monkeypatch):
+    """A consumer registration that lands DURING expire_snapshots — after the
+    expiry read the consumer map, before it acted — must not lose its resume
+    floor: the floor-bump CAS conflicts, the expiry recomputes with the new
+    registration visible, and the child resumes incrementally (never
+    bootstraps). Deterministic re-enactment of the old race window."""
+    p_root = str(tmp_path / "p")
+    parent = make_parent(spark, p_root)
+    events = feed_events(n=120)
+    batches = [events[i : i + 30] for i in range(0, 120, 30)]
+    merge_change_batch(parent, events_df(spark, batches[0]), batch_id=0)
+
+    child = ChainedConsumer(spark, p_root, str(tmp_path / "ch"))
+    child.run_until_caught_up()
+    applied = child.applied_version()
+    # parent advances: keep_last=2 alone would expire the child's floor
+    for b, batch in enumerate(batches[1:], start=1):
+        merge_change_batch(parent, events_df(spark, batch), batch_id=b)
+    assert applied < sorted(parent.versions())[-2]  # the window is real
+
+    real_commit = LakeTable.try_commit
+    injected = {"fired": False}
+
+    def racing_commit(self, snap):
+        if not injected["fired"] and "retention_floor" in snap.properties:
+            injected["fired"] = True
+            # the racing registration is CAS-ordered BEFORE the floor commit
+            LakeTable(spark, p_root).register_consumer("chain", applied)
+        return real_commit(self, snap)
+
+    monkeypatch.setattr(LakeTable, "try_commit", racing_commit)
+    parent.expire_snapshots(keep_last=2, respect_consumers=True)
+    monkeypatch.setattr(LakeTable, "try_commit", real_commit)
+    assert injected["fired"]
+
+    # the floor survived: every manifest from the child's applied version on
+    assert min(LakeTable(spark, p_root).versions()) <= applied
+    results = child.run_until_caught_up()
+    assert any(r.applied for r in results)
+    assert not any(r.bootstrapped for r in results)  # incremental resume
+
+    expected = [
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in replay(events)
+    ]
+    assert visible(LakeTable(spark, str(tmp_path / "ch"))) == expected
