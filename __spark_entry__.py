@@ -665,6 +665,28 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     return decode_real_summary(media)
 
 
+def q_multimodal_decode_jpeg_color(spark, sf_dir):
+    """REAL 3-component baseline-JPEG decode with restart intervals:
+    documents -> genuine interleaved YCbCr 4:4:4 SOF0 streams carrying a DRI
+    segment and RSTn markers every 4 MCUs (each text byte is one MCU; Cb/Cr
+    are fixed derivations of Y, so three DC predictor chains diverge through
+    one entropy-coded scan) -> the pure-numpy decoder (marker walk,
+    interleaved Huffman scan, restart sequence check + per-component
+    predictor reset, dequantize, IDCT) -> per-file summary whose content_md5
+    is the md5 of the Y-plane block bytes RECOVERED from the decoded pixels.
+    Oracle recomputes every column from the source table — the color +
+    restart round-trip is hash-gated bit-for-bit."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        jpeg_color_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = jpeg_color_media_from_documents(docs, limit=MEDIA_LIMIT, restart_interval=4)
+    return decode_real_summary(media)
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -711,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+        "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
     }
 
 
@@ -1107,6 +1130,18 @@ def oracle_sql() -> dict[str, str]:
         # n_units = blocks = byte count, width = 8*bytes, height = 8; the
         # decoder's recovered block bytes must md5 back to the source text
         "multimodal_decode_jpeg": f"""
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(8 * octet_length(encode(text)) AS INTEGER) AS rate,
+                   CAST(8 AS INTEGER) AS duration_ms,
+                   md5(text) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # color + restart-interval stream: each text byte is one interleaved
+        # YCbCr MCU, so the frame geometry is identical to the grayscale
+        # builder and the decoded Y plane must md5 back to the source text
+        "multimodal_decode_jpeg_color": f"""
             SELECT doc_id AS media_id,
                    'image' AS kind,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_units,

@@ -247,9 +247,17 @@ class _BitWriter:
                 self.buf.append(0x00)  # byte stuffing
             self.n -= 8
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.n:
             self.put(0x7F, 8 - self.n)  # 1-pad to byte boundary per spec
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (no stuffing) — caller must align()."""
+        assert self.n == 0, "raw marker emission requires byte alignment"
+        self.buf.extend(data)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -257,17 +265,90 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def jpeg_bytes(gray: bytes, qtable: np.ndarray | None = None) -> bytes:
+def _encode_const_block(w: "_BitWriter", v: int, prev_dc: int, q, dc_huf, ac_huf, C) -> int:
+    """Entropy-encode one constant 8x8 block (DCT -> quantize -> zigzag ->
+    Huffman); returns the new DC predictor. The pipeline is the general one —
+    constancy only means the AC pass emits a single EOB."""
+    block = np.full((8, 8), float(int(v)) - 128.0)
+    coef = C @ block @ C.T
+    zz = np.round(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    size = _category(diff)
+    code, length = dc_huf[size]
+    w.put(code, length)
+    if size:
+        w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        a = int(zz[k])
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_huf[0xF0]  # ZRL
+            w.put(zc, zl)
+            run -= 16
+        s = _category(a)
+        cc, cl = ac_huf[(run << 4) | s]
+        w.put(cc, cl)
+        w.put(a if a > 0 else a + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ec, el = ac_huf[0x00]  # EOB
+        w.put(ec, el)
+    return prev_dc
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_headers(q: np.ndarray, width: int, height: int, ncomp: int, restart_interval) -> bytes:
+    out = b"\xff\xd8"  # SOI
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += _jpeg_seg(0xDB, b"\x00" + bytes(int(x) for x in q))  # DQT id 0, 8-bit
+    # SOF0: components ids 1..ncomp, all 1x1 sampling (4:4:4), qtable 0
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0x00])
+    out += _jpeg_seg(0xC0, sof)
+    out += _jpeg_seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
+    out += _jpeg_seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", int(restart_interval)))  # DRI
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # every component -> tables 0/0
+    out += _jpeg_seg(0xDA, sos + b"\x00\x3f\x00")
+    return out
+
+
+#: chroma derivations for the exactly-invertible color stream: per input byte
+#: v, the MCU carries constant blocks Y=v, Cb=v^0xFF, Cr=(v+85)%256 — three
+#: DIVERGING DC predictor chains, so interleaved decode order and per-
+#: component predictor reset at restarts are both load-bearing.
+def _color_planes_of(v: int) -> tuple[int, int, int]:
+    return v, v ^ 0xFF, (v + 85) % 256
+
+
+def jpeg_bytes(
+    gray: bytes,
+    qtable: np.ndarray | None = None,
+    restart_interval: int | None = None,
+) -> bytes:
     """Baseline JPEG encoder for a one-block-row grayscale image: each input
     byte becomes one constant 8x8 block (width = 8*len, height = 8). The
     entropy pipeline (DCT -> quantize -> zigzag -> Annex-K Huffman) is the
     real general one; the constant-block layout plus an all-ones quant table
     is what makes the codec EXACTLY invertible (a constant block is DC-only
     and the DC quantizer divides the DCT gain), giving the decode path an
-    md5-round-trip oracle like the WAV/PPM containers."""
+    md5-round-trip oracle like the WAV/PPM containers.
+
+    restart_interval=n emits a DRI segment and an RSTn marker every n MCUs
+    (byte-aligned scan, D0..D7 cycling, DC predictor reset) — the stream
+    shape hardware encoders emit for error resilience."""
     data = np.frombuffer(bytes(gray), dtype=np.uint8)
-    if data.size == 0:
-        data = np.zeros(0, dtype=np.uint8)
     n_blocks = max(1, data.size)  # zero-length text still needs a legal frame
     q = np.ones(64, dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64).reshape(64)
     dc_huf = _huff_codes(_DC_BITS, _DC_VALS)
@@ -277,52 +358,50 @@ def jpeg_bytes(gray: bytes, qtable: np.ndarray | None = None) -> bytes:
     w = _BitWriter()
     prev_dc = 0
     blocks = data if data.size else np.zeros(1, dtype=np.uint8)
-    for v in blocks:
-        block = np.full((8, 8), float(int(v)) - 128.0)
-        coef = C @ block @ C.T
-        zz = np.round(coef.reshape(64)[_ZIGZAG] / q).astype(np.int64)
-        diff = int(zz[0]) - prev_dc
-        prev_dc = int(zz[0])
-        size = _category(diff)
-        code, length = dc_huf[size]
-        w.put(code, length)
-        if size:
-            w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
-        run = 0
-        for k in range(1, 64):
-            a = int(zz[k])
-            if a == 0:
-                run += 1
-                continue
-            while run > 15:
-                zc, zl = ac_huf[0xF0]  # ZRL
-                w.put(zc, zl)
-                run -= 16
-            s = _category(a)
-            cc, cl = ac_huf[(run << 4) | s]
-            w.put(cc, cl)
-            w.put(a if a > 0 else a + (1 << s) - 1, s)
-            run = 0
-        if run:
-            ec, el = ac_huf[0x00]  # EOB
-            w.put(ec, el)
+    for i, v in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            w.align()
+            w.raw(bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)]))
+            prev_dc = 0
+        prev_dc = _encode_const_block(w, int(v), prev_dc, q, dc_huf, ac_huf, C)
     scan = w.flush()
+    return (
+        _jpeg_headers(q, 8 * n_blocks, 8, 1, restart_interval) + scan + b"\xff\xd9"
+    )
 
-    width, height = 8 * n_blocks, 8
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+def jpeg_color_bytes(
+    gray: bytes,
+    qtable: np.ndarray | None = None,
+    restart_interval: int | None = None,
+) -> bytes:
+    """Three-component (YCbCr 4:4:4) baseline JPEG: each input byte v becomes
+    one interleaved MCU of constant blocks Y=v, Cb=v^0xFF, Cr=(v+85)%256 —
+    three diverging DC predictor chains through one entropy-coded scan, so
+    decoding exercises real interleaved-MCU order and (with restart_interval)
+    per-component predictor resets at RSTn. Same exact-invertibility layout
+    as jpeg_bytes, so the Y plane round-trips the input bit-for-bit."""
+    data = np.frombuffer(bytes(gray), dtype=np.uint8)
+    n_mcus = max(1, data.size)
+    q = np.ones(64, dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64).reshape(64)
+    dc_huf = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_huf = _huff_codes(_AC_BITS, _AC_VALS)
+    C = _dct_matrix()
 
-    out = b"\xff\xd8"  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q))  # DQT id 0, 8-bit
-    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")  # SOF0
-    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
-    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS: comp 1 -> tables 0/0
-    out += scan
-    out += b"\xff\xd9"  # EOI
-    return out
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    blocks = data if data.size else np.zeros(1, dtype=np.uint8)
+    for i, v in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            w.align()
+            w.raw(bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)]))
+            prev = [0, 0, 0]
+        for ci, val in enumerate(_color_planes_of(int(v))):
+            prev[ci] = _encode_const_block(w, val, prev[ci], q, dc_huf, ac_huf, C)
+    scan = w.flush()
+    return (
+        _jpeg_headers(q, 8 * n_mcus, 8, 3, restart_interval) + scan + b"\xff\xd9"
+    )
 
 
 class _BitReader:
@@ -357,6 +436,22 @@ class _BitReader:
         self.n -= length
         return v
 
+    def restart(self) -> int:
+        """Consume an RSTn marker at the current byte boundary: drop the
+        scan's 1-padding bits (any unread bits are pad or the synthetic
+        zeros _fill feeds at a marker — _fill never advances past an FF, so
+        pos sits exactly on the marker), read FF Dn, return n. Caller resets
+        the DC predictors per the spec."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker in scan")
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTn marker, got ff{m:02x}")
+        self.pos += 2
+        return m - 0xD0
+
 
 def _huff_decode_tables(bits: list[int], vals: list[int]):
     """Per-length (first_code, first_index) canonical decode table."""
@@ -382,11 +477,40 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_block(r: _BitReader, dc_tab, ac_tab, prev_dc: int) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block's zigzag coefficients; returns (zz, new_dc)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(r, *dc_tab)
+    prev_dc += _extend(r.take(size), size) if size else 0
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(r, *ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if run != 15:
+                raise ValueError("invalid AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(r.take(s), s)
+        k += 1
+    return zz, prev_dc
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline sequential JPEG decoder (grayscale, one component): marker
-    walk (DQT/DHT/SOF0/SOS), canonical Huffman scan decode with byte
-    unstuffing, dequantize, inverse zigzag, IDCT, level shift. Raises on
-    progressive (SOF2), arithmetic coding, or multi-component scans."""
+    """Baseline sequential JPEG decoder: marker walk (DQT/DHT/SOF0/DRI/SOS),
+    canonical Huffman scan decode with byte unstuffing, restart-interval
+    handling (RSTn sequence check, bit realign, per-component DC predictor
+    reset), dequantize, inverse zigzag, IDCT, level shift. Supports one
+    (grayscale) or three (YCbCr 4:4:4 interleaved) components; raises on
+    progressive (SOF2), arithmetic coding, or subsampled chroma. Grayscale
+    returns pixels (h, w); color returns pixels (h, w, 3) in frame component
+    order with ncomp=3."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -394,7 +518,9 @@ def decode_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], tuple] = {}
     width = height = None
     scan_start = None
-    comp_dc = comp_ac = comp_q = 0
+    comps: list[tuple[int, int]] = []  # frame order: (component id, quant id)
+    sel: dict[int, tuple[int, int]] = {}  # component id -> (dc table, ac table)
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -422,63 +548,64 @@ def decode_jpeg(payload: bytes) -> dict:
                 b += 17 + nv
         elif marker == 0xC0:
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) baseline supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- (gray) or 3-component (YCbCr) baseline supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    # 4:2:0/4:2:2 change the MCU block geometry — refuse
+                    # loudly rather than mis-decode
+                    raise ValueError("subsampled chroma (non-4:4:4) unsupported")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
-            # restart intervals put RSTn markers inside the scan, which this
-            # reader would treat as end-of-data — refuse loudly, don't
-            # mis-decode silently
-            raise ValueError("restart intervals (DRI) unsupported")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise ValueError("only single-component scans supported")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            if ns != len(comps):
+                raise ValueError("scan components != frame components")
+            for si in range(ns):
+                scid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                sel[scid] = (tabs >> 4, tabs & 0xF)
             scan_start = pos + 2 + size
             break
         pos += 2 + size
     if scan_start is None or width is None:
         raise ValueError("missing SOS/SOF0")
-    q = qtables[comp_q]
-    dc_tab = huff[(0, comp_dc)]
-    ac_tab = huff[(1, comp_ac)]
     C = _dct_matrix()
+    ncomp = len(comps)
     bx, by = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    planes = np.zeros((ncomp, by * 8, bx * 8), dtype=np.uint8)
     r = _BitReader(payload[scan_start:])
-    prev_dc = 0
+    prev = [0] * ncomp
     inv = np.argsort(_ZIGZAG)
     for blk in range(bx * by):
-        zz = np.zeros(64, dtype=np.int64)
-        size = _read_symbol(r, *dc_tab)
-        prev_dc += _extend(r.take(size), size) if size else 0
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_symbol(r, *ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            run, s = sym >> 4, sym & 0xF
-            if s == 0:
-                if run != 15:
-                    raise ValueError("invalid AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zz[k] = _extend(r.take(s), s)
-            k += 1
-        coef = (zz * q)[inv].reshape(8, 8).astype(np.float64)
-        pix = C.T @ coef @ C + 128.0
+        if restart_interval and blk and blk % restart_interval == 0:
+            m = r.restart()
+            if m != (blk // restart_interval - 1) % 8:
+                raise ValueError("restart marker out of sequence")
+            prev = [0] * ncomp  # spec: predictors reset at every restart
         y0, x0 = (blk // bx) * 8, (blk % bx) * 8
-        out[y0 : y0 + 8, x0 : x0 + 8] = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-    return {"width": int(width), "height": int(height), "pixels": out[:height, :width]}
+        for ci, (cid, tq) in enumerate(comps):
+            dc_id, ac_id = sel[cid]
+            zz, prev[ci] = _decode_block(r, huff[(0, dc_id)], huff[(1, ac_id)], prev[ci])
+            coef = (zz * qtables[tq])[inv].reshape(8, 8).astype(np.float64)
+            pix = C.T @ coef @ C + 128.0
+            planes[ci, y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                np.round(pix), 0, 255
+            ).astype(np.uint8)
+    if ncomp == 1:
+        pixels = planes[0][:height, :width]
+    else:
+        pixels = np.stack([p[:height, :width] for p in planes], axis=-1)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "pixels": pixels,
+        "ncomp": ncomp,
+    }
 
 
 def _audio_features_real(payload: bytes, dim: int) -> np.ndarray:
@@ -513,7 +640,8 @@ def _image_features_real(payload: bytes, dim: int) -> np.ndarray:
         img = decode_bmp(payload)
     elif payload[:2] == b"\xff\xd8":
         img = dict(decode_jpeg(payload))
-        img["pixels"] = np.repeat(img["pixels"][:, :, None], 3, axis=2)  # gray->RGB
+        if img["pixels"].ndim == 2:
+            img["pixels"] = np.repeat(img["pixels"][:, :, None], 3, axis=2)  # gray->RGB
     else:
         raise ValueError("unsupported image container (PPM/BMP/baseline-JPEG only without codec libs)")
     flat = img["pixels"].reshape(-1, 3).astype(np.float64)
@@ -718,6 +846,43 @@ def jpeg_media_from_documents(docs: DataFrame, limit: int | None = None) -> Data
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
+def jpeg_color_media_from_documents(
+    docs: DataFrame, limit: int | None = None, restart_interval: int = 4
+) -> DataFrame:
+    """Media table of 3-component (YCbCr 4:4:4) baseline JPEGs WITH restart
+    intervals, built from the documents table: each doc's UTF-8 text bytes
+    become the Y plane of an interleaved one-MCU-row stream (Cb/Cr are fixed
+    derivations of Y — see jpeg_color_bytes), with an RSTn marker every
+    `restart_interval` MCUs. Decoding these exercises interleaved MCU order,
+    three diverging DC predictor chains, restart sequence checking and
+    predictor reset — and still md5-round-trips the source text exactly."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        jpeg_color_bytes(
+                            (t or "").encode("utf-8"),
+                            restart_interval=restart_interval,
+                        )
+                        for t in pdf["text"]
+                    ],
+                    "meta": [
+                        {"container": "jpeg", "codec": "baseline-ycbcr444-dri"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
 def decode_real_summary(media: DataFrame) -> DataFrame:
     """REAL-decode summary — the oracle-gated proof that `use_real` decoding
     round-trips: each payload is container-sniffed by magic (RIFF -> WAV,
@@ -743,8 +908,12 @@ def decode_real_summary(media: DataFrame) -> DataFrame:
                 elif payload[:2] == b"\xff\xd8":
                     img = decode_jpeg(payload)
                     # one byte per 8x8 block (the builder's layout): top-left
-                    # pixel of each block across the single block row
-                    content = img["pixels"][0, ::8].tobytes()
+                    # pixel of each block across the single block row; for a
+                    # color stream the Y plane carries the source bytes (the
+                    # chroma planes are its fixed derivations — pinned by
+                    # pytest, not by this digest)
+                    px = img["pixels"]
+                    content = (px[..., 0] if px.ndim == 3 else px)[0, ::8].tobytes()
                     rows["n_units"].append(img["width"] // 8)
                     rows["rate"].append(int(img["width"]))
                     rows["duration_ms"].append(int(img["height"]))

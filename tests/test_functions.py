@@ -649,3 +649,79 @@ def test_jpeg_decode_summary_matches_source(spark):
     # width feature = 8 * byte length; mean channel = mean byte value
     assert feats[2]["features"][0] == 8 * 300
     assert abs(feats[2]["features"][2] - ord("x")) < 1e-6
+
+
+def test_jpeg_color_dri_roundtrip_exact():
+    """3-component YCbCr 4:4:4 + restart intervals: interleaved MCU decode
+    with three diverging DC predictor chains, RSTn sequence checking and
+    per-restart predictor reset — exactly invertible (Y plane == source
+    bytes, Cb/Cr == their fixed derivations), across restart intervals that
+    do and don't divide the MCU count. Subsampled chroma still refuses."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _color_planes_of,
+        decode_jpeg,
+        jpeg_bytes,
+        jpeg_color_bytes,
+    )
+
+    rng = np.random.RandomState(11)
+    for n, ri in [(1, None), (5, 1), (8, 2), (17, 4), (33, 7), (40, 8)]:
+        data = bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
+        # grayscale with DRI
+        g = decode_jpeg(jpeg_bytes(data, restart_interval=ri))
+        assert g["ncomp"] == 1 and g["pixels"][0, ::8].tobytes() == data
+        # color with DRI
+        c = decode_jpeg(jpeg_color_bytes(data, restart_interval=ri))
+        assert c["ncomp"] == 3 and c["pixels"].shape == (8, 8 * n, 3)
+        exp = np.array([_color_planes_of(v) for v in data], dtype=np.uint8)
+        for ci in range(3):
+            plane = c["pixels"][..., ci]
+            assert (plane[0, ::8] == exp[:, ci]).all(), (n, ri, ci)
+            # whole blocks constant, not just the sampled corner
+            assert all(
+                (plane[:, 8 * i : 8 * i + 8] == exp[i, ci]).all() for i in range(n)
+            )
+    # a corrupted restart sequence refuses instead of silently de-syncing
+    payload = bytearray(jpeg_color_bytes(bytes(range(16)), restart_interval=4))
+    i = payload.find(b"\xff\xd0", 2)
+    assert i > 0
+    payload[i + 1] = 0xD3  # out-of-sequence RSTn
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(payload))
+    # subsampled chroma refuses loudly
+    pc = bytearray(jpeg_color_bytes(b"abc"))
+    j = pc.find(b"\xff\xc0")
+    pc[j + 2 + 2 + 6 + 1] = 0x22
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(pc))
+
+
+def test_jpeg_color_decode_summary_matches_source(spark):
+    """The multimodal_decode_jpeg_color oracle contract locally: a color +
+    restart-interval stream still md5-round-trips the source text through
+    the Spark mapInPandas path, and feeds the real feature extractor."""
+    import hashlib
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        extract_features,
+        jpeg_color_media_from_documents,
+    )
+
+    rows = [(0, "hello world"), (1, "caffé"), (2, "x" * 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = jpeg_color_media_from_documents(docs, restart_interval=4)
+    out = {r["media_id"]: r for r in decode_real_summary(media).collect()}
+    for did, text in rows:
+        b = text.encode("utf-8")
+        r = out[did]
+        assert r["n_units"] == len(b)
+        assert r["rate"] == 8 * len(b) and r["duration_ms"] == 8
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(media, dim=8, use_real=True).collect()
+    }
+    assert feats[2]["features"][0] == 8 * 300  # width from the color frame
