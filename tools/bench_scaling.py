@@ -63,6 +63,60 @@ def wait_healthy(min_membw_16p: float, timeout_s: float, interval_s: float):
         time.sleep(streak_gap if probe_ok else interval_s)
 
 
+class LegSampler:
+    """Sub-leg health sampling (campaign v5's fix): the co-tenant throttle
+    oscillation period dropped BELOW leg length, so bracketing probes can
+    both read healthy while the host collapses mid-leg. A daemon thread
+    writes one small tmpfs block every `interval_s` DURING the leg and
+    records the write bandwidth — the CLAUDE.md tell (healthy ≈ several
+    GB/s single-threaded even beside a busy Spark JVM; a throttled host
+    reads well under 1). Cost: ~64 MB / ~30 ms per sample, <0.5% of the
+    leg — far below the leg-to-leg variance it exists to detect. A leg
+    with ANY sample under the floor is VOIDED and re-run instead of
+    poisoning the efficiency ratio."""
+
+    def __init__(self, interval_s: float = 8.0, block_mb: int = 64):
+        import threading
+
+        self.interval_s = interval_s
+        self.block = b"\x5a" * (block_mb << 20)
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _sample_once(self) -> float:
+        path = f"/dev/shm/aq_leg_probe_{os.getpid()}"
+        t0 = time.perf_counter()
+        with open(path, "wb") as f:
+            f.write(self.block)
+        dt = time.perf_counter() - t0
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return len(self.block) / dt / 1e9
+
+    def _run(self):
+        while not self._stop.wait(self.interval_s):
+            try:
+                self.samples.append(round(self._sample_once(), 2))
+            except Exception:
+                pass
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        return False
+
+
+def leg_floor_GBs() -> float:
+    return float(os.environ.get("AQ_SCALE_LEG_MIN_TMPFS_GBS", "1.0"))
+
+
 def run_one(cpus: int, n_events: int) -> dict:
     env = dict(os.environ)
     env.update(
@@ -83,6 +137,66 @@ def run_one(cpus: int, n_events: int) -> dict:
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def run_leg(cpus: int, n_events: int) -> dict:
+    """One scaling leg with concurrent sub-leg sampling; a leg whose
+    in-flight tmpfs samples collapse below the floor is VOIDED and re-run
+    (after waiting out the trough) up to AQ_SCALE_LEG_VOID_RETRIES times.
+    The returned leg carries its sample trace either way."""
+    floor = leg_floor_GBs()
+    retries = int(os.environ.get("AQ_SCALE_LEG_VOID_RETRIES", "2"))
+    leg = None
+    for attempt in range(retries + 1):
+        with LegSampler() as s:
+            leg = run_one(cpus, n_events)["cdc_replay"]
+        if not s.samples:  # leg shorter than the sample interval
+            s.samples.append(round(s._sample_once(), 2))
+        # Calibrated 2026-08-17 (see BENCH.md): single samples bounce to
+        # ~0.2 GB/s transiently even from the leg's OWN load while the
+        # median stays ~1.7, so a single-sample floor would thrash. The
+        # collapse signature is SUSTAINED: median under the floor, or >= 3
+        # consecutive samples under half of it (~24 s of trough at the 8 s
+        # cadence — the oscillation phases campaign v5 measured are minutes).
+        med = sorted(s.samples)[len(s.samples) // 2]
+        streak = best = 0
+        for v in s.samples:
+            streak = streak + 1 if v < floor / 2 else 0
+            best = max(best, streak)
+        leg["tmpfs_samples_GBs"] = s.samples
+        leg["tmpfs_min_GBs"] = min(s.samples)
+        leg["tmpfs_median_GBs"] = med
+        leg["tmpfs_collapse_streak"] = best
+        leg["leg_healthy"] = med >= floor and best < 3
+        leg["void_retries"] = attempt
+        if leg["leg_healthy"]:
+            return leg
+        print(
+            json.dumps(
+                {
+                    "leg_voided": {
+                        "cpus": cpus,
+                        "attempt": attempt,
+                        "tmpfs_median_GBs": leg["tmpfs_median_GBs"],
+                        "tmpfs_collapse_streak": leg["tmpfs_collapse_streak"],
+                        "floor": floor,
+                    }
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+        if attempt < retries:
+            # wait out the trough with the same cheap tell before re-running
+            smp = LegSampler()
+            deadline = time.monotonic() + float(
+                os.environ.get("AQ_SCALE_VOID_WAIT_S", "900")
+            )
+            while time.monotonic() < deadline:
+                if smp._sample_once() >= floor:
+                    break
+                time.sleep(20)
+    return leg
 
 
 def best_of(cpus: int, n_events: int, repeats: int) -> dict:
@@ -198,7 +312,7 @@ def main():
         # of the window; lo (CPU-bound at 4 threads) tolerates decay better.
         for cpus in (hi, lo):
             probes[cpus] = probe()
-            legs[cpus] = run_one(cpus, n_events)["cdc_replay"]
+            legs[cpus] = run_leg(cpus, n_events)
             print(
                 json.dumps({"round": r, "cpus": cpus, "probe": probes[cpus], "leg": legs[cpus]}),
                 file=sys.stderr,
@@ -206,8 +320,10 @@ def main():
             )
         # post-round probe: round 0 of the 2026-08-16 campaign proved a pre-leg
         # probe can pass and the host collapse MID-leg (32 GB/s probe, then a
-        # 5x-slow leg). Bracketing probes on both sides of every leg makes a
-        # mid-leg collapse visible: healthy_pair now requires all three.
+        # 5x-slow leg). Bracketing probes on both sides of every leg make a
+        # collapse AT THE SEAMS visible; the in-leg tmpfs sample traces
+        # (run_leg) catch the mid-leg case campaign v5 proved the brackets
+        # miss. healthy_pair requires all three probes AND both sample traces.
         probe_post = probe()
         eff_r = (legs[lo]["sec"] / legs[hi]["sec"]) / (hi / lo)
         per_round.append(
@@ -220,7 +336,9 @@ def main():
                 "probe_post_membw16": probe_post["membw_16p_GBs"],
                 "healthy_pair": probes[lo]["membw_16p_GBs"] >= min_bw
                 and probes[hi]["membw_16p_GBs"] >= min_bw
-                and probe_post["membw_16p_GBs"] >= min_bw,
+                and probe_post["membw_16p_GBs"] >= min_bw
+                and legs[lo]["leg_healthy"]
+                and legs[hi]["leg_healthy"],
                 "efficiency": round(eff_r, 3),
             }
         )
@@ -271,6 +389,13 @@ lineage.
 
 speedup = {result['speedup']}x over a {hi//lo}x core increase ->
 **scaling efficiency = {result['efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+
+Sub-leg health sampling (one 64 MB tmpfs write every ~8 s DURING each leg;
+a leg is voided and re-run when the sample median falls under
+{leg_floor_GBs()} GB/s or >= 3 consecutive samples fall under half of it —
+catches mid-leg host collapses the bracketing probes miss):
+- local[{lo}]: median {r_lo.get('tmpfs_median_GBs')} / min {r_lo.get('tmpfs_min_GBs')} GB/s over {len(r_lo.get('tmpfs_samples_GBs', []))} samples, collapse streak {r_lo.get('tmpfs_collapse_streak')} (voided retries: {r_lo.get('void_retries', 0)}); trace {r_lo.get('tmpfs_samples_GBs')}
+- local[{hi}]: median {r_hi.get('tmpfs_median_GBs')} / min {r_hi.get('tmpfs_min_GBs')} GB/s over {len(r_hi.get('tmpfs_samples_GBs', []))} samples, collapse streak {r_hi.get('tmpfs_collapse_streak')} (voided retries: {r_hi.get('void_retries', 0)}); trace {r_hi.get('tmpfs_samples_GBs')}
 
 Host health at measurement time (tools/host_health.py — aggregate memory
 bandwidth; the shared physical host throttles it under co-tenant load, which
