@@ -40,6 +40,7 @@ from aqueduct_core_spark.lake.table import (
     CommitConflict,
     LakeTable,
     Snapshot,
+    _file_may_match,
     bucket_expr,
 )
 from aqueduct_core_spark.schema import (
@@ -490,9 +491,16 @@ def read_resolved(
         )
         if not with_bucket_col:
             res = res.drop(BUCKET_COL)
-        if clean:
-            # delta-free buckets: already resolved at write — no shuffle,
-            # and range stats skip their base files
+        # delta-free buckets: already resolved at write — no shuffle, and
+        # range stats skip their base files. When the stats exclude EVERY
+        # clean file (a fresh-window read on a cold table), skip the union
+        # entirely: an empty subtree still costs a scheduled stage.
+        clean_set = set(clean)
+        clean_matches = any(
+            f["bucket"] in clean_set and (not ranges or _file_may_match(f, ranges))
+            for f in snap.files
+        )
+        if clean and clean_matches:
             c = table.read(
                 buckets=clean,
                 version=ver,

@@ -251,7 +251,11 @@ class LakeTable:
         changelog reads."""
         target_schema = snap.schema()
         if not files:
-            return self.spark.createDataFrame([], target_schema)
+            # .limit(0) lets OptimizeLimitZero rewrite the RDD-backed empty
+            # relation into a LocalRelation Catalyst can FOLD AWAY — a bare
+            # createDataFrame([]) survives as `Scan ExistingRDD`, which costs
+            # a real (empty) stage in every plan it gets unioned into
+            return self.spark.createDataFrame([], target_schema).limit(0)
         # Group by written schema so each parquet read uses its exact file schema,
         # then align to the current schema (add-column -> NULL, widen -> cast).
         by_schema: dict[int, list[str]] = {}
