@@ -37,6 +37,13 @@ def cmd_ingest(args) -> int:
         print("ingest needs --log or --follow", file=sys.stderr)
         return 2
     spark = _spark("aqueduct-ingest")
+    if getattr(args, "fs", "local") == "hadoop":
+        # control plane through the Hadoop FileSystem API (the cluster path:
+        # the same code drives hdfs:// and s3a:// table roots), wrapped in
+        # the transient-fault retry policy a real object-store FileIO carries
+        from aqueduct_core_spark.lake.fsio import HadoopFS, RetryingFS, set_fs
+
+        set_fs(RetryingFS(HadoopFS(spark)))
     transform = None
     if args.normalize:
         from aqueduct_core_spark.functions.transforms import normalize_payload
@@ -230,6 +237,11 @@ def main(argv=None) -> int:
         help="comma-separated follow chain of feed mirrors (failover tail; overrides --log)",
     )
     pi.add_argument("--adaptive", action="store_true", help="adaptive Retry-After tail loop")
+    pi.add_argument(
+        "--fs", choices=["local", "hadoop"], default="local",
+        help="manifest/data control plane: local posix ops, or the Hadoop "
+        "FileSystem API (RetryingFS(HadoopFS) — the hdfs://s3a:// cluster path)",
+    )
     pi.add_argument("--max-rounds", type=int, default=10)
     pi.add_argument(
         "--quarantine-dir", default=None,

@@ -17,6 +17,11 @@ What it does:
      compares consistency sum + live rows against a direct batch resolution
      (normalize -> resolve_lww over the raw feed — no streaming machinery).
 
+AQ_REHEARSAL_FS=hadoop runs the CLI with --fs hadoop: the whole ingest +
+failover drives its manifest/data control plane through
+set_fs(RetryingFS(HadoopFS)) — the control-plane parity claim exercised at
+replay scale, not just the lifecycle unit test (tests/test_hadoop_fs.py).
+
 Usage: python tools/rehearsal_e2e.py [n_events]   -> one JSON line, exit 0/1
 """
 
@@ -94,6 +99,9 @@ def main() -> int:
             "--max-files-per-trigger", "64",
             "--max-rounds", "12",
         ]
+        fs_kind = os.environ.get("AQ_REHEARSAL_FS", "local")
+        if fs_kind != "local":
+            cli += ["--fs", fs_kind]
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         # what spark-submit's --master/--driver-memory flags provide on a
@@ -138,6 +146,7 @@ def main() -> int:
         got_rows = read_transcripts(t).count()
 
         result = {
+            "fs": fs_kind,
             "ok": bool(
                 failed_over
                 and paced
