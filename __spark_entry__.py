@@ -687,6 +687,29 @@ def q_multimodal_decode_jpeg_color(spark, sf_dir):
     return decode_real_summary(media)
 
 
+def q_multimodal_decode_jpeg420(spark, sf_dir):
+    """REAL chroma-subsampled (YCbCr 4:2:0) baseline-JPEG decode with restart
+    intervals — the sampling layout real camera/web encoders emit: documents
+    -> genuine SOF0 streams where each text byte is one 16x16 MCU of six
+    blocks (four DISTINCT constant luma blocks in spec raster order +
+    quarter-resolution Cb/Cr), RSTn every 4 MCUs -> the pure-numpy decoder
+    (general per-component MCU geometry, Y00 Y01 Y10 Y11 Cb Cr data-unit
+    walk, MCU-counted restart sequence check + predictor reset, box chroma
+    upsample) -> per-file summary whose content_md5 is the md5 of the bytes
+    RECOVERED from the decoded Y plane at MCU stride. Oracle recomputes
+    every column from the source table — the subsampled round-trip is
+    hash-gated bit-for-bit."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        jpeg420_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = jpeg420_media_from_documents(docs, limit=MEDIA_LIMIT, restart_interval=4)
+    return decode_real_summary(media)
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -734,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": q_multimodal_decode_real,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
+        "multimodal_decode_jpeg420": q_multimodal_decode_jpeg420,
     }
 
 
@@ -1147,6 +1171,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
                    CAST(8 * octet_length(encode(text)) AS INTEGER) AS rate,
                    CAST(8 AS INTEGER) AS duration_ms,
+                   md5(text) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # 4:2:0 stream: each text byte is one 16x16 six-block MCU, so
+        # n_units = MCUs = byte count, width = 16*bytes, height = 16; the
+        # decoded Y plane at MCU stride must md5 back to the source text
+        "multimodal_decode_jpeg420": f"""
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(16 * octet_length(encode(text)) AS INTEGER) AS rate,
+                   CAST(16 AS INTEGER) AS duration_ms,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,

@@ -304,14 +304,23 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _jpeg_headers(q: np.ndarray, width: int, height: int, ncomp: int, restart_interval) -> bytes:
+def _jpeg_headers(
+    q: np.ndarray,
+    width: int,
+    height: int,
+    ncomp: int,
+    restart_interval,
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
     out = b"\xff\xd8"  # SOI
     out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     out += _jpeg_seg(0xDB, b"\x00" + bytes(int(x) for x in q))  # DQT id 0, 8-bit
-    # SOF0: components ids 1..ncomp, all 1x1 sampling (4:4:4), qtable 0
+    # SOF0: components ids 1..ncomp, per-component (h,v) sampling (default
+    # 1x1 = 4:4:4), all on qtable 0
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0x00])
+    for ci in range(ncomp):
+        h, v = sampling[ci] if sampling else (1, 1)
+        sof += bytes([ci + 1, (h << 4) | v, 0x00])
     out += _jpeg_seg(0xC0, sof)
     out += _jpeg_seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
     out += _jpeg_seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
@@ -401,6 +410,59 @@ def jpeg_color_bytes(
     scan = w.flush()
     return (
         _jpeg_headers(q, 8 * n_mcus, 8, 3, restart_interval) + scan + b"\xff\xd9"
+    )
+
+
+#: per-byte Y quad for the 4:2:0 stream: the four luma blocks of one MCU in
+#: spec raster order (0,0),(0,1),(1,0),(1,1). DISTINCT values so a decoder
+#: that walks the intra-MCU block order wrong produces wrong pixels at known
+#: positions instead of an accidentally-identical plane.
+def _y_quad_of(v: int) -> tuple[int, int, int, int]:
+    return v, v ^ 0x55, v ^ 0xAA, v ^ 0xFF
+
+
+def jpeg420_bytes(
+    gray: bytes,
+    qtable: np.ndarray | None = None,
+    restart_interval: int | None = None,
+) -> bytes:
+    """Chroma-subsampled (YCbCr 4:2:0) baseline JPEG — the sampling layout
+    virtually every camera and web encoder emits: each input byte v becomes
+    one 16x16 MCU of SIX blocks — four distinct constant luma blocks
+    (v, v^0x55, v^0xAA, v^0xFF in raster order) followed by one Cb (v^0xFF)
+    and one Cr ((v+85)%256) block at quarter resolution. Decoding exercises
+    the general MCU geometry (per-component sampling factors, data-unit
+    order Y00 Y01 Y10 Y11 Cb Cr), three diverging DC predictor chains, and
+    (with restart_interval, counted in MCUs) predictor resets at RSTn. Same
+    constant-block + unit-quantizer exact-invertibility as jpeg_bytes: the
+    top-left pixel of each MCU round-trips the input bit-for-bit."""
+    data = np.frombuffer(bytes(gray), dtype=np.uint8)
+    n_mcus = max(1, data.size)
+    q = np.ones(64, dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64).reshape(64)
+    dc_huf = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_huf = _huff_codes(_AC_BITS, _AC_VALS)
+    C = _dct_matrix()
+
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    mcus = data if data.size else np.zeros(1, dtype=np.uint8)
+    for i, v in enumerate(mcus):
+        if restart_interval and i and i % restart_interval == 0:
+            w.align()
+            w.raw(bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)]))
+            prev = [0, 0, 0]
+        _, cb, cr = _color_planes_of(int(v))
+        for y in _y_quad_of(int(v)):
+            prev[0] = _encode_const_block(w, y, prev[0], q, dc_huf, ac_huf, C)
+        prev[1] = _encode_const_block(w, cb, prev[1], q, dc_huf, ac_huf, C)
+        prev[2] = _encode_const_block(w, cr, prev[2], q, dc_huf, ac_huf, C)
+    scan = w.flush()
+    return (
+        _jpeg_headers(
+            q, 16 * n_mcus, 16, 3, restart_interval, sampling=[(2, 2), (1, 1), (1, 1)]
+        )
+        + scan
+        + b"\xff\xd9"
     )
 
 
@@ -507,10 +569,13 @@ def decode_jpeg(payload: bytes) -> dict:
     canonical Huffman scan decode with byte unstuffing, restart-interval
     handling (RSTn sequence check, bit realign, per-component DC predictor
     reset), dequantize, inverse zigzag, IDCT, level shift. Supports one
-    (grayscale) or three (YCbCr 4:4:4 interleaved) components; raises on
-    progressive (SOF2), arithmetic coding, or subsampled chroma. Grayscale
-    returns pixels (h, w); color returns pixels (h, w, 3) in frame component
-    order with ncomp=3."""
+    (grayscale) or three (YCbCr) components at any integer-ratio sampling —
+    4:4:4, 4:2:2, 4:2:0 (general per-component h x v MCU geometry, data
+    units in spec raster order, subsampled planes box-upsampled to frame
+    resolution); raises on progressive (SOF2) and arithmetic coding.
+    Grayscale returns pixels (h, w); color returns pixels (h, w, 3) in frame
+    component order with ncomp=3, plus the parsed sampling factors and the
+    MCU pixel width."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -553,11 +618,16 @@ def decode_jpeg(payload: bytes) -> dict:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    # 4:2:0/4:2:2 change the MCU block geometry — refuse
-                    # loudly rather than mis-decode
-                    raise ValueError("subsampled chroma (non-4:4:4) unsupported")
-                comps.append((cid, tq))
+                h, v = samp >> 4, samp & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"illegal sampling factors {h}x{v}")
+                comps.append((cid, tq, h, v))
+            if sum(h * v for _, _, h, v in comps) > 10:
+                raise ValueError("blocks per MCU > 10 (spec B.2.3)")
+            if ncomp == 1:
+                # single-component scans are non-interleaved: the MCU is one
+                # data unit regardless of the SOF sampling factors (A.2.2)
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
@@ -576,35 +646,56 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("missing SOS/SOF0")
     C = _dct_matrix()
     ncomp = len(comps)
-    bx, by = (width + 7) // 8, (height + 7) // 8
-    planes = np.zeros((ncomp, by * 8, bx * 8), dtype=np.uint8)
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    for _, _, h, v in comps:
+        if hmax % h or vmax % v:
+            # spec-legal but unused in practice; upsampling by replication
+            # needs integer ratios — refuse loudly rather than mis-decode
+            raise ValueError(f"non-integer sampling ratio {h}x{v} vs {hmax}x{vmax}")
+    # MCU grid: each MCU covers 8*hmax x 8*vmax pixels; component ci decodes
+    # h_i x v_i data units per MCU into a plane at its OWN resolution
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((my * v * 8, mx * h * 8), dtype=np.uint8) for _, _, h, v in comps]
     r = _BitReader(payload[scan_start:])
     prev = [0] * ncomp
     inv = np.argsort(_ZIGZAG)
-    for blk in range(bx * by):
-        if restart_interval and blk and blk % restart_interval == 0:
+    for mcu in range(mx * my):
+        if restart_interval and mcu and mcu % restart_interval == 0:
             m = r.restart()
-            if m != (blk // restart_interval - 1) % 8:
+            if m != (mcu // restart_interval - 1) % 8:
                 raise ValueError("restart marker out of sequence")
             prev = [0] * ncomp  # spec: predictors reset at every restart
-        y0, x0 = (blk // bx) * 8, (blk % bx) * 8
-        for ci, (cid, tq) in enumerate(comps):
+        mcu_y, mcu_x = divmod(mcu, mx)
+        for ci, (cid, tq, h, v) in enumerate(comps):
             dc_id, ac_id = sel[cid]
-            zz, prev[ci] = _decode_block(r, huff[(0, dc_id)], huff[(1, ac_id)], prev[ci])
-            coef = (zz * qtables[tq])[inv].reshape(8, 8).astype(np.float64)
-            pix = C.T @ coef @ C + 128.0
-            planes[ci, y0 : y0 + 8, x0 : x0 + 8] = np.clip(
-                np.round(pix), 0, 255
-            ).astype(np.uint8)
-    if ncomp == 1:
-        pixels = planes[0][:height, :width]
-    else:
-        pixels = np.stack([p[:height, :width] for p in planes], axis=-1)
+            for vv in range(v):
+                for hh in range(h):  # data-unit order within the MCU: raster
+                    zz, prev[ci] = _decode_block(
+                        r, huff[(0, dc_id)], huff[(1, ac_id)], prev[ci]
+                    )
+                    coef = (zz * qtables[tq])[inv].reshape(8, 8).astype(np.float64)
+                    pix = C.T @ coef @ C + 128.0
+                    y0, x0 = (mcu_y * v + vv) * 8, (mcu_x * h + hh) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                        np.round(pix), 0, 255
+                    ).astype(np.uint8)
+    # bring subsampled components to frame resolution by pixel replication
+    # (the box upsample every fast decoder defaults to), then crop the
+    # right/bottom MCU padding
+    full = [
+        np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)[:height, :width]
+        for p, (_, _, h, v) in zip(planes, comps)
+    ]
+    pixels = full[0] if ncomp == 1 else np.stack(full, axis=-1)
     return {
         "width": int(width),
         "height": int(height),
         "pixels": pixels,
         "ncomp": ncomp,
+        "sampling": [(h, v) for _, _, h, v in comps],
+        "mcu_w": 8 * hmax,
     }
 
 
@@ -883,6 +974,44 @@ def jpeg_color_media_from_documents(
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
+def jpeg420_media_from_documents(
+    docs: DataFrame, limit: int | None = None, restart_interval: int = 4
+) -> DataFrame:
+    """Media table of chroma-subsampled (YCbCr 4:2:0) baseline JPEGs with
+    restart intervals — the sampling layout real camera/web encoders emit:
+    each doc's UTF-8 text bytes become one 16x16 MCU each (four distinct
+    constant luma blocks + quarter-res Cb/Cr — see jpeg420_bytes), with an
+    RSTn marker every `restart_interval` MCUs. Decoding these exercises the
+    general per-component MCU geometry (Y00 Y01 Y10 Y11 Cb Cr data-unit
+    order), chroma upsampling, and MCU-counted restarts — and still
+    md5-round-trips the source text exactly off the decoded Y plane."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        jpeg420_bytes(
+                            (t or "").encode("utf-8"),
+                            restart_interval=restart_interval,
+                        )
+                        for t in pdf["text"]
+                    ],
+                    "meta": [
+                        {"container": "jpeg", "codec": "baseline-ycbcr420-dri"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
 def decode_real_summary(media: DataFrame) -> DataFrame:
     """REAL-decode summary — the oracle-gated proof that `use_real` decoding
     round-trips: each payload is container-sniffed by magic (RIFF -> WAV,
@@ -907,14 +1036,16 @@ def decode_real_summary(media: DataFrame) -> DataFrame:
                     )
                 elif payload[:2] == b"\xff\xd8":
                     img = decode_jpeg(payload)
-                    # one byte per 8x8 block (the builder's layout): top-left
-                    # pixel of each block across the single block row; for a
+                    # one byte per MCU (the builders' layout): top-left pixel
+                    # of each MCU across the single MCU row — stride = the
+                    # parsed MCU width (8 for 4:4:4, 16 for 4:2:0); for a
                     # color stream the Y plane carries the source bytes (the
-                    # chroma planes are its fixed derivations — pinned by
-                    # pytest, not by this digest)
+                    # chroma planes and sibling luma blocks are its fixed
+                    # derivations — pinned by pytest, not by this digest)
                     px = img["pixels"]
-                    content = (px[..., 0] if px.ndim == 3 else px)[0, ::8].tobytes()
-                    rows["n_units"].append(img["width"] // 8)
+                    step = int(img.get("mcu_w", 8))
+                    content = (px[..., 0] if px.ndim == 3 else px)[0, ::step].tobytes()
+                    rows["n_units"].append(img["width"] // step)
                     rows["rate"].append(int(img["width"]))
                     rows["duration_ms"].append(int(img["height"]))
                 else:

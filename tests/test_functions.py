@@ -690,11 +690,16 @@ def test_jpeg_color_dri_roundtrip_exact():
     payload[i + 1] = 0xD3  # out-of-sequence RSTn
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg(bytes(payload))
-    # subsampled chroma refuses loudly
+    # spec-violating sampling still refuses loudly: >10 blocks per MCU
+    # (B.2.3) and non-integer h/v ratios (box upsample would mis-decode)
     pc = bytearray(jpeg_color_bytes(b"abc"))
     j = pc.find(b"\xff\xc0")
-    pc[j + 2 + 2 + 6 + 1] = 0x22
-    with pytest.raises(ValueError, match="subsampled"):
+    pc[j + 2 + 2 + 6 + 1] = 0x33  # Y at 3x3 -> 9+1+1 = 11 blocks/MCU
+    with pytest.raises(ValueError, match="blocks per MCU"):
+        decode_jpeg(bytes(pc))
+    pc[j + 2 + 2 + 6 + 1] = 0x31  # Y 3x1 vs Cb 2x1: 3 % 2 != 0
+    pc[j + 2 + 2 + 9 + 1] = 0x21
+    with pytest.raises(ValueError, match="non-integer"):
         decode_jpeg(bytes(pc))
 
 
@@ -725,3 +730,125 @@ def test_jpeg_color_decode_summary_matches_source(spark):
         for r in extract_features(media, dim=8, use_real=True).collect()
     }
     assert feats[2]["features"][0] == 8 * 300  # width from the color frame
+
+
+def test_jpeg420_subsampled_roundtrip_exact():
+    """YCbCr 4:2:0 (the camera/web-encoder layout): six-block MCU geometry
+    (four DISTINCT luma blocks in spec raster order + quarter-res chroma),
+    MCU-counted restart intervals, box chroma upsample — exactly invertible
+    at every probed position, across restart intervals that do and don't
+    divide the MCU count."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _color_planes_of,
+        _y_quad_of,
+        decode_jpeg,
+        jpeg420_bytes,
+    )
+
+    rng = np.random.RandomState(13)
+    for n, ri in [(1, None), (5, 1), (8, 2), (17, 4), (33, 7), (40, 8)]:
+        data = bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
+        img = decode_jpeg(jpeg420_bytes(data, restart_interval=ri))
+        assert img["ncomp"] == 3 and img["sampling"] == [(2, 2), (1, 1), (1, 1)]
+        assert img["mcu_w"] == 16 and img["pixels"].shape == (16, 16 * n, 3)
+        Y = img["pixels"][..., 0]
+        assert Y[0, ::16].tobytes() == data, (n, ri)
+        for i, v in enumerate(data):
+            q = _y_quad_of(v)
+            _, cb, cr = _color_planes_of(v)
+            x = 16 * i
+            # each luma block constant at its own derivation — a wrong
+            # intra-MCU data-unit walk lands the wrong value here
+            assert (Y[:8, x : x + 8] == q[0]).all()
+            assert (Y[:8, x + 8 : x + 16] == q[1]).all()
+            assert (Y[8:, x : x + 8] == q[2]).all()
+            assert (Y[8:, x + 8 : x + 16] == q[3]).all()
+            # chroma decoded at quarter res, upsampled across the whole MCU
+            assert (img["pixels"][:, x : x + 16, 1] == cb).all()
+            assert (img["pixels"][:, x : x + 16, 2] == cr).all()
+    # an out-of-sequence RSTn still refuses under the MCU-counted geometry
+    payload = bytearray(jpeg420_bytes(bytes(range(16)), restart_interval=4))
+    i = payload.find(b"\xff\xd0", 2)
+    assert i > 0
+    payload[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg422_handbuilt_stream_decodes():
+    """4:2:2 (Y 2x1): a hand-assembled stream through the library's own
+    header/entropy helpers decodes with the right MCU geometry — two luma
+    blocks side by side per MCU, chroma upsampled horizontally only."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _AC_BITS,
+        _AC_VALS,
+        _BitWriter,
+        _DC_BITS,
+        _DC_VALS,
+        _dct_matrix,
+        _encode_const_block,
+        _huff_codes,
+        _jpeg_headers,
+        decode_jpeg,
+    )
+
+    q = np.ones(64, dtype=np.int64)
+    dc = _huff_codes(_DC_BITS, _DC_VALS)
+    ac = _huff_codes(_AC_BITS, _AC_VALS)
+    C = _dct_matrix()
+    mcus = [(10, 200, 30, 240), (90, 60, 130, 20)]  # (y0, y1, cb, cr) per MCU
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for y0, y1, cb, cr in mcus:
+        prev[0] = _encode_const_block(w, y0, prev[0], q, dc, ac, C)
+        prev[0] = _encode_const_block(w, y1, prev[0], q, dc, ac, C)
+        prev[1] = _encode_const_block(w, cb, prev[1], q, dc, ac, C)
+        prev[2] = _encode_const_block(w, cr, prev[2], q, dc, ac, C)
+    jp = (
+        _jpeg_headers(q, 32, 8, 3, None, sampling=[(2, 1), (1, 1), (1, 1)])
+        + w.flush()
+        + b"\xff\xd9"
+    )
+    img = decode_jpeg(jp)
+    assert img["sampling"] == [(2, 1), (1, 1), (1, 1)] and img["mcu_w"] == 16
+    assert img["pixels"].shape == (8, 32, 3)
+    for i, (y0, y1, cb, cr) in enumerate(mcus):
+        x = 16 * i
+        assert (img["pixels"][:, x : x + 8, 0] == y0).all()
+        assert (img["pixels"][:, x + 8 : x + 16, 0] == y1).all()
+        assert (img["pixels"][:, x : x + 16, 1] == cb).all()
+        assert (img["pixels"][:, x : x + 16, 2] == cr).all()
+
+
+def test_jpeg420_decode_summary_matches_source(spark):
+    """The multimodal_decode_jpeg420 oracle contract locally: a subsampled +
+    restart-interval stream md5-round-trips the source text through the
+    Spark mapInPandas path at MCU stride (16), and feeds the real feature
+    extractor with the 4:2:0 frame geometry."""
+    import hashlib
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        extract_features,
+        jpeg420_media_from_documents,
+    )
+
+    rows = [(0, "hello world"), (1, "caffé"), (2, "x" * 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = jpeg420_media_from_documents(docs, restart_interval=4)
+    out = {r["media_id"]: r for r in decode_real_summary(media).collect()}
+    for did, text in rows:
+        b = text.encode("utf-8")
+        r = out[did]
+        assert r["n_units"] == len(b)
+        assert r["rate"] == 16 * len(b) and r["duration_ms"] == 16
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(media, dim=8, use_real=True).collect()
+    }
+    assert feats[2]["features"][0] == 16 * 300  # width from the 4:2:0 frame
