@@ -710,6 +710,28 @@ def q_multimodal_decode_jpeg420(spark, sf_dir):
     return decode_real_summary(media)
 
 
+def q_multimodal_decode_jpeg_progressive(spark, sf_dir):
+    """REAL progressive (SOF2) JPEG decode: documents -> genuine multi-scan
+    streams (DC at Al=1 + DC refinement bit plane + AC first/refinement
+    scans with shared EOBRUN coding, restart markers every 3 units in every
+    scan) -> the pure-numpy progressive decoder (per-scan spectral band +
+    successive-approximation state, EOB-run accounting, correction-bit
+    walk, coefficients accumulated across scans then dequantized + IDCT'd
+    once) -> per-file summary whose content_md5 is the md5 of the bytes
+    RECOVERED from the decoded pixels. Oracle recomputes every column from
+    the source table — the multi-scan round-trip is hash-gated
+    bit-for-bit."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        jpeg_progressive_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = jpeg_progressive_media_from_documents(docs, limit=MEDIA_LIMIT, restart_interval=3)
+    return decode_real_summary(media)
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -758,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
         "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
         "multimodal_decode_jpeg420": q_multimodal_decode_jpeg420,
+        "multimodal_decode_jpeg_progressive": q_multimodal_decode_jpeg_progressive,
     }
 
 
@@ -1183,6 +1206,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
                    CAST(16 * octet_length(encode(text)) AS INTEGER) AS rate,
                    CAST(16 AS INTEGER) AS duration_ms,
+                   md5(text) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # progressive stream: same one-block-row frame geometry as the
+        # grayscale builder (each text byte one 8x8 block), rendered across
+        # six SA scans; the accumulated-coefficient decode must md5 back
+        "multimodal_decode_jpeg_progressive": f"""
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(8 * octet_length(encode(text)) AS INTEGER) AS rate,
+                   CAST(8 AS INTEGER) AS duration_ms,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,

@@ -466,6 +466,290 @@ def jpeg420_bytes(
     )
 
 
+# --- progressive (SOF2) encoding: spectral selection + successive
+# --- approximation, per T.81 Annex G. The AC refinement encoder mirrors the
+# --- decoder's correction-bit walk: bits for already-significant
+# --- coefficients buffer until the symbol (ZRL / newly-significant / EOBn)
+# --- that covers them is emitted.
+
+#: AC Huffman table for progressive scans: the Annex-K sequential table has
+#: no EOBn symbols (cat<<4, cat 1..14 — variable-length end-of-band runs are
+#: progressive-only), so emit a custom canonical table carrying every symbol
+#: a progressive AC scan can produce — all 176 at length 9 (2^9 = 512 code
+#: space, all-ones code unused per K.2). Real encoders ship size-optimized
+#: tables; the decoder reads whatever DHT declares, so the fixed table only
+#: costs stream size, never compatibility.
+_PROG_AC_VALS = (
+    [cat << 4 for cat in range(15)]  # EOBn: EOB0 .. EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[8] = len(_PROG_AC_VALS)  # every symbol at code length 9
+
+
+def _flush_corr_bits(w: "_BitWriter", st: dict) -> None:
+    for b in st["bits"]:
+        w.put(b, 1)
+    st["bits"] = []
+
+
+def _emit_eobrun(w: "_BitWriter", ac_huf, st: dict) -> None:
+    if st["eobrun"] > 0:
+        run = st["eobrun"]
+        cat = run.bit_length() - 1
+        code, ln = ac_huf[cat << 4]
+        w.put(code, ln)
+        if cat:
+            w.put(run - (1 << cat), cat)
+        st["eobrun"] = 0
+        # correction bits buffered under this EOB run follow its symbol —
+        # the decoder pays them while sweeping the covered bands. With no
+        # pending run the buffer belongs to a LATER covering symbol (ZRL /
+        # newly-significant), so it must stay buffered here.
+        _flush_corr_bits(w, st)
+
+
+def _enc_dc_first(w, dcval: int, prev: int, Al: int, dc_huf) -> int:
+    v = int(dcval) >> Al  # DC point transform: arithmetic shift (G.1.2.1)
+    diff = v - prev
+    size = _category(diff)
+    code, ln = dc_huf[size]
+    w.put(code, ln)
+    if size:
+        w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    return v
+
+
+def _enc_ac_first_block(w, zz, Ss: int, Se: int, Al: int, ac_huf, st: dict) -> None:
+    """One block of an AC first scan (Ah=0): values at point transform Al
+    (magnitude shift, sign preserved), zero runs + ZRL, trailing zeros and
+    all-zero blocks folded into a shared EOBRUN."""
+    vals = []
+    for k in range(Ss, Se + 1):
+        a = int(zz[k])
+        t = (a if a >= 0 else -a) >> Al
+        vals.append(t if a >= 0 else -t)
+    last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+    if last_nz < 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(w, ac_huf, st)
+        return
+    _emit_eobrun(w, ac_huf, st)
+    r = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_huf[0xF0]
+            w.put(code, ln)
+            r -= 16
+        s = _category(v)
+        code, ln = ac_huf[(r << 4) | s]
+        w.put(code, ln)
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last_nz < len(vals) - 1:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(w, ac_huf, st)
+
+
+def _enc_ac_refine_block(w, zz, Ss: int, Se: int, Al: int, ac_huf, st: dict) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-significant
+    coefficients (|v|>>Al == 1) emit (run|1)+sign where run counts only
+    zero-history positions; every already-significant coefficient passed
+    over contributes one buffered correction bit, flushed after the covering
+    symbol — the exact mirror of the decoder's G.1.2.3 walk."""
+    ts = []
+    for k in range(Ss, Se + 1):
+        a = int(zz[k])
+        ts.append(((a if a >= 0 else -a) >> Al, a > 0))
+    last_new = max((i for i, (t, _) in enumerate(ts) if t == 1), default=-1)
+    r = 0
+    # two correction-bit buffers (jcphuff's BE/BR split): st["bits"] is owned
+    # by the pending EOB run and flushes with its EOBn symbol; `br` holds
+    # bits buffered in THIS block since the last symbol and flushes after
+    # the next ZRL / newly-significant symbol — conflating them would hand
+    # the decoder's EOB-run sweep bits that belong to a later block.
+    br: list[int] = []
+    for i in range(last_new + 1):
+        t, pos = ts[i]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs are emitted EAGERLY at the next nonzero position once 16+
+        # zero-history positions accumulated — also before a mere correction
+        # bit — so the bits flushed after each ZRL never outrun the
+        # decoder's 16-zero-history advance (the jcphuff emission order)
+        while r > 15:
+            _emit_eobrun(w, ac_huf, st)
+            code, ln = ac_huf[0xF0]
+            w.put(code, ln)
+            r -= 16
+            for b in br:
+                w.put(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(w, ac_huf, st)  # a pending EOB run ends before this symbol
+        code, ln = ac_huf[(r << 4) | 1]
+        w.put(code, ln)
+        w.put(1 if pos else 0, 1)
+        for b in br:
+            w.put(b, 1)
+        br = []
+        r = 0
+    if last_new < len(ts) - 1:
+        # block folds into the EOB run: its unflushed bits become run-owned
+        st["bits"].extend(br)
+        st["bits"].extend(t & 1 for t, _ in ts[last_new + 1 :] if t > 1)
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF or len(st["bits"]) > 900:
+            _emit_eobrun(w, ac_huf, st)
+
+
+def _progressive_stream(
+    comp_blocks: list[np.ndarray],
+    width: int,
+    height: int,
+    sampling: list[tuple[int, int]],
+    q: np.ndarray,
+    scans: list[tuple],
+    restart_interval: int | None = None,
+) -> bytes:
+    """Assemble a progressive (SOF2) stream from per-component quantized
+    zigzag coefficient arrays (nby, nbx, 64). `scans` is the scan script:
+    ("dc", [ci, ...], Ah, Al) — interleaved when multiple components — or
+    ("ac", ci, Ss, Se, Ah, Al). Block grids must be exact multiples of the
+    MCU grid (the builders' one-MCU-row layouts are). Restart markers, when
+    configured, are emitted every `restart_interval` MCUs/blocks in every
+    scan, resetting DC predictors and ending any open EOB run."""
+    dc_huf = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_huf = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    ncomp = len(comp_blocks)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, b"\x00" + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h, v = sampling[ci]
+        sof += bytes([ci + 1, (h << 4) | v, 0x00])
+    out += _jpeg_seg(0xC2, sof)
+    out += _jpeg_seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _jpeg_seg(0xC4, b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", int(restart_interval)))
+
+    def rst(w, idx):
+        w.align()
+        w.raw(bytes([0xFF, 0xD0 + ((idx // restart_interval - 1) % 8)]))
+
+    for scan in scans:
+        w = _BitWriter()
+        if scan[0] == "dc":
+            _, cis, ah, al = scan
+            sos = bytes([len(cis)])
+            for ci in cis:
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([0, 0, (ah << 4) | al])
+            if len(cis) > 1:
+                units = [
+                    [
+                        (ci, mcu_y * sampling[ci][1] + vv, mcu_x * sampling[ci][0] + hh)
+                        for ci in cis
+                        for vv in range(sampling[ci][1])
+                        for hh in range(sampling[ci][0])
+                    ]
+                    for mcu_y in range(my)
+                    for mcu_x in range(mx)
+                ]
+            else:
+                ci = cis[0]
+                nby, nbx = comp_blocks[ci].shape[:2]
+                units = [[(ci, by, bx)] for by in range(nby) for bx in range(nbx)]
+            prev = {ci: 0 for ci in cis}
+            for mcu, mcu_units in enumerate(units):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    rst(w, mcu)
+                    prev = {ci: 0 for ci in cis}
+                for ci, by, bx in mcu_units:
+                    dc = comp_blocks[ci][by, bx, 0]
+                    if ah == 0:
+                        prev[ci] = _enc_dc_first(w, dc, prev[ci], al, dc_huf)
+                    else:
+                        w.put((int(dc) >> al) & 1, 1)
+        else:
+            _, ci, ss, se, ah, al = scan
+            sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+            st = {"eobrun": 0, "bits": []}
+            nby, nbx = comp_blocks[ci].shape[:2]
+            for bi, (by, bx) in enumerate(
+                (by, bx) for by in range(nby) for bx in range(nbx)
+            ):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    _emit_eobrun(w, ac_huf, st)
+                    rst(w, bi)
+                zz = comp_blocks[ci][by, bx]
+                if ah == 0:
+                    _enc_ac_first_block(w, zz, ss, se, al, ac_huf, st)
+                else:
+                    _enc_ac_refine_block(w, zz, ss, se, al, ac_huf, st)
+            _emit_eobrun(w, ac_huf, st)
+        out += _jpeg_seg(0xDA, sos) + w.flush()
+    return out + b"\xff\xd9"
+
+
+def jpeg_progressive_bytes(
+    gray: bytes,
+    qtable: np.ndarray | None = None,
+    restart_interval: int | None = None,
+    ncomp: int = 1,
+) -> bytes:
+    """Progressive (SOF2) JPEG with the same exact-invertibility contract as
+    jpeg_bytes / jpeg_color_bytes: each input byte is one constant 8x8 block
+    (ncomp=1) or one 4:4:4 YCbCr MCU (ncomp=3, chroma = the fixed
+    derivations of Y), unit quantizers. Scan script: DC first at Al=1
+    (interleaved when color), a DC refinement bit plane, then per component
+    an AC first scan (1..63, Al=1) and its refinement — all-zero AC bands,
+    so the AC scans are pure shared-EOBRUN streams, the progressive
+    structure real decoders must walk. The decoded Y plane round-trips the
+    input bit-for-bit."""
+    data = np.frombuffer(bytes(gray), dtype=np.uint8)
+    n = max(1, data.size)
+    q = np.ones(64, dtype=np.int64) if qtable is None else np.asarray(qtable, dtype=np.int64).reshape(64)
+    vals = data if data.size else np.zeros(1, dtype=np.uint8)
+    comp_blocks = []
+    for ci in range(ncomp):
+        arr = np.zeros((1, n, 64), dtype=np.int64)
+        for i, v in enumerate(vals):
+            plane_v = int(v) if ncomp == 1 else _color_planes_of(int(v))[ci]
+            # constant block: DC-only, DCT gain 8, unit DC quantizer
+            arr[0, i, 0] = 8 * (plane_v - 128)
+        comp_blocks.append(arr)
+    scans: list[tuple] = [("dc", list(range(ncomp)), 0, 1), ("dc", list(range(ncomp)), 1, 0)]
+    for ci in range(ncomp):
+        scans.append(("ac", ci, 1, 63, 0, 1))
+        scans.append(("ac", ci, 1, 63, 1, 0))
+    return _progressive_stream(
+        comp_blocks,
+        8 * n,
+        8,
+        [(1, 1)] * ncomp,
+        q,
+        scans,
+        restart_interval=restart_interval,
+    )
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -628,8 +912,12 @@ def decode_jpeg(payload: bytes) -> dict:
                 # single-component scans are non-interleaved: the MCU is one
                 # data unit regardless of the SOF sampling factors (A.2.2)
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC2:
+            # progressive DCT: multi-scan spectral-selection / successive-
+            # approximation stream — handled by the dedicated scan machinery
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline (SOF0) and progressive (SOF2) DCT supported")
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
@@ -696,6 +984,290 @@ def decode_jpeg(payload: bytes) -> dict:
         "ncomp": ncomp,
         "sampling": [(h, v) for _, _, h, v in comps],
         "mcu_w": 8 * hmax,
+    }
+
+
+def _scan_end(payload: bytes, start: int) -> int:
+    """Index of the first marker that terminates an entropy-coded segment
+    (not a stuffed FF00, not RST0-7) — lets a multi-scan (progressive)
+    stream resume the marker walk after each scan's data."""
+    i, n = start, len(payload)
+    while i < n:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        m = payload[i + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        return i
+    return n
+
+
+def _prog_correct(coef: np.ndarray, k: int, r: "_BitReader", p1: int) -> None:
+    """One AC-refinement correction bit for an already-nonzero coefficient:
+    magnitude grows by 1<<Al toward its sign (G.1.2.3); the &p1 guard
+    ignores a re-correction in a corrupt stream instead of overshooting."""
+    if r.take(1) and not (int(coef[k]) & p1):
+        coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _prog_scan_dc(r, units, huff, sel, coefs, Ah, Al, restart_interval):
+    """DC scan (Ss=Se=0) over `units` = [(ci, by, bx), ...] in MCU order,
+    grouped per MCU for restart accounting. First pass (Ah=0): normal DPCM
+    decode, coefficient = predictor << Al. Refinement: one bit per data
+    unit, OR'd in at bit Al (two's-complement bit-planes, so negative DC
+    values reconstruct exactly)."""
+    ncomp = len(coefs)
+    prev = [0] * ncomp
+    for mcu, mcu_units in enumerate(units):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            m = r.restart()
+            if m != (mcu // restart_interval - 1) % 8:
+                raise ValueError("restart marker out of sequence")
+            prev = [0] * ncomp
+        for ci, by, bx in mcu_units:
+            if Ah == 0:
+                size = _read_symbol(r, *huff[(0, sel[ci][0])])
+                prev[ci] += _extend(r.take(size), size) if size else 0
+                coefs[ci][by, bx, 0] = prev[ci] << Al
+            elif r.take(1):
+                coefs[ci][by, bx, 0] |= 1 << Al
+
+
+def _prog_scan_ac(r, blocks, ac_tab, coef_arr, Ss, Se, Ah, Al, restart_interval):
+    """AC scan (single component, non-interleaved) over `blocks` = [(by, bx),
+    ...] in raster order. First pass (Ah=0): runs/EOBRUN/ZRL with values at
+    point transform Al. Refinement (Ah>0): the G.1.2.3 correction-bit walk —
+    newly-significant coefficients arrive as ±1<<Al, every already-nonzero
+    coefficient passed over (including the whole band of EOB-run blocks)
+    pays one correction bit. EOBRUN and, at restarts, the bit reader are the
+    only inter-block state."""
+    p1 = 1 << Al
+    eobrun = 0
+    for bi, (by, bx) in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            m = r.restart()
+            if m != (bi // restart_interval - 1) % 8:
+                raise ValueError("restart marker out of sequence")
+            eobrun = 0
+        coef = coef_arr[by, bx]
+        k = Ss
+        if Ah == 0:
+            if eobrun:
+                eobrun -= 1
+                continue
+            while k <= Se:
+                sym = _read_symbol(r, *ac_tab)
+                run, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << run) - 1 + (r.take(run) if run else 0)
+                    break
+                k += run
+                if k > Se:
+                    raise ValueError("AC run past end of band")
+                coef[k] = _extend(r.take(s), s) << Al
+                k += 1
+        else:
+            if eobrun == 0:
+                while k <= Se:
+                    sym = _read_symbol(r, *ac_tab)
+                    run, s = sym >> 4, sym & 0xF
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("refinement scan with |coef| > 1")
+                        newval = p1 if r.take(1) else -p1
+                    elif run != 15:
+                        eobrun = (1 << run) + (r.take(run) if run else 0)
+                        break
+                    # advance over `run` zero-history positions, paying a
+                    # correction bit at every already-nonzero one passed
+                    while k <= Se:
+                        if coef[k]:
+                            _prog_correct(coef, k, r, p1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if s:
+                        if k > Se:
+                            raise ValueError("AC run past end of band")
+                        coef[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    if coef[k]:
+                        _prog_correct(coef, k, r, p1)
+                    k += 1
+                eobrun -= 1
+
+
+def _planes_from_coefs(coefs, comps, qtables, C, inv):
+    """Dequantize + inverse zigzag + IDCT a whole component of zigzag-order
+    coefficient blocks (by, bx, 64) -> uint8 plane (by*8, bx*8), vectorized
+    across blocks."""
+    out = []
+    for (cid, tq, h, v), cf in zip(comps, coefs):
+        deq = (cf * qtables[tq][None, None, :])[:, :, inv].astype(np.float64)
+        blocks = deq.reshape(*deq.shape[:2], 8, 8)
+        pix = np.einsum("ji,yxjk,kl->yxil", C, blocks, C) + 128.0
+        plane = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        out.append(plane.transpose(0, 2, 1, 3).reshape(plane.shape[0] * 8, plane.shape[1] * 8))
+    return out
+
+
+def _decode_progressive(payload: bytes) -> dict:
+    """Progressive (SOF2) JPEG decoder: multi-scan marker walk where each
+    SOS carries a spectral band [Ss, Se] and successive-approximation bit
+    positions (Ah, Al) — DC scans (interleaved or not) first send the DPCM
+    value at bit Al then one refinement bit per scan; AC scans (one
+    component each, non-interleaved) send runs/EOBRUN at bit Al then
+    correction-bit refinements. Coefficients accumulate across scans in
+    zigzag order per component and are dequantized + IDCT'd once at EOI.
+    Scan-header legality (B.2.3) is enforced: a DC band must be exactly
+    [0,0], AC bands must not cross 0 or interleave components."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []
+    coefs: list[np.ndarray] = []
+    geom: dict[int, tuple] = {}  # ci -> (nb_x interleaved, nb_y, nb_x non-int, nb_y non-int)
+    sel: dict[int, tuple[int, int]] = {}
+    restart_interval = 0
+    hmax = vmax = mx = my = 1
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _huff_decode_tables(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC2:
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component progressive supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                h, v = samp >> 4, samp & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"illegal sampling factors {h}x{v}")
+                comps.append((cid, tq, h, v))
+            if sum(h * v for _, _, h, v in comps) > 10:
+                raise ValueError("blocks per MCU > 10 (spec B.2.3)")
+            if ncomp == 1:
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
+            hmax = max(h for _, _, h, _ in comps)
+            vmax = max(v for _, _, _, v in comps)
+            for _, _, h, v in comps:
+                if hmax % h or vmax % v:
+                    raise ValueError(f"non-integer sampling ratio {h}x{v} vs {hmax}x{vmax}")
+            mx = (width + 8 * hmax - 1) // (8 * hmax)
+            my = (height + 8 * vmax - 1) // (8 * vmax)
+            for ci, (cid, tq, h, v) in enumerate(comps):
+                # coefficient store at interleaved-grid size; non-interleaved
+                # scans address only the component's own ceil-dims (A.2.2)
+                cw = (width * h + hmax - 1) // hmax
+                ch = (height * v + vmax - 1) // vmax
+                geom[ci] = (mx * h, my * v, (cw + 7) // 8, (ch + 7) // 8)
+                coefs.append(np.zeros((my * v, mx * h, 64), dtype=np.int64))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed frame markers in progressive stream")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scan_cis = []
+            for si in range(ns):
+                scid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                ci = next((i for i, c in enumerate(comps) if c[0] == scid), None)
+                if ci is None:
+                    raise ValueError("scan component not in frame")
+                sel[ci] = (tabs >> 4, tabs & 0xF)
+                scan_cis.append(ci)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            scan_start = pos + 2 + size
+            end = _scan_end(payload, scan_start)
+            r = _BitReader(payload[scan_start:end])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan band must be [0,0] (B.2.3)")
+                if len(scan_cis) > 1:
+                    units = [
+                        [
+                            (ci, mcu_y * comps[ci][3] + vv, mcu_x * comps[ci][2] + hh)
+                            for ci in scan_cis
+                            for vv in range(comps[ci][3])
+                            for hh in range(comps[ci][2])
+                        ]
+                        for mcu_y in range(my)
+                        for mcu_x in range(mx)
+                    ]
+                else:
+                    ci = scan_cis[0]
+                    _, _, nbx, nby = geom[ci]
+                    units = [[(ci, by, bx)] for by in range(nby) for bx in range(nbx)]
+                _prog_scan_dc(r, units, huff, sel, coefs, ah, al, restart_interval)
+            else:
+                if len(scan_cis) != 1:
+                    raise ValueError("AC scans must be non-interleaved (B.2.3)")
+                if se > 63 or ss > se:
+                    raise ValueError("illegal spectral band")
+                ci = scan_cis[0]
+                _, _, nbx, nby = geom[ci]
+                blocks = [(by, bx) for by in range(nby) for bx in range(nbx)]
+                _prog_scan_ac(
+                    r, blocks, huff[(1, sel[ci][1])], coefs[ci], ss, se, ah, al, restart_interval
+                )
+            pos = end
+            continue
+        pos += 2 + size
+    if not comps or width is None:
+        raise ValueError("missing SOF2/SOS")
+    C = _dct_matrix()
+    inv = np.argsort(_ZIGZAG)
+    planes = _planes_from_coefs(coefs, comps, qtables, C, inv)
+    full = [
+        np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)[:height, :width]
+        for p, (_, _, h, v) in zip(planes, comps)
+    ]
+    ncomp = len(comps)
+    pixels = full[0] if ncomp == 1 else np.stack(full, axis=-1)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "pixels": pixels,
+        "ncomp": ncomp,
+        "sampling": [(h, v) for _, _, h, v in comps],
+        "mcu_w": 8 * hmax,
+        "progressive": True,
     }
 
 
@@ -1004,6 +1576,43 @@ def jpeg420_media_from_documents(
                     ],
                     "meta": [
                         {"container": "jpeg", "codec": "baseline-ycbcr420-dri"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
+def jpeg_progressive_media_from_documents(
+    docs: DataFrame, limit: int | None = None, restart_interval: int = 3
+) -> DataFrame:
+    """Media table of progressive (SOF2) JPEGs built from the documents
+    table: each doc's UTF-8 text bytes become the constant blocks of a
+    one-block-row grayscale stream rendered across SIX scans — DC at Al=1,
+    a DC refinement bit plane, then AC first + refinement scans (shared
+    EOBRUN streams) — with RSTn markers every `restart_interval` units in
+    every scan. Decoding walks the real multi-scan successive-approximation
+    machinery and still md5-round-trips the source text exactly."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        jpeg_progressive_bytes(
+                            (t or "").encode("utf-8"),
+                            restart_interval=restart_interval,
+                        )
+                        for t in pdf["text"]
+                    ],
+                    "meta": [
+                        {"container": "jpeg", "codec": "progressive-sa-dri"}
                     ]
                     * len(pdf),
                 }

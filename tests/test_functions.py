@@ -545,10 +545,12 @@ def test_jpeg_codec_roundtrip_exact():
         assert all(
             (px[:, 8 * i : 8 * i + 8] == txt[i]).all() for i in range(len(txt))
         )
-    # progressive (SOF2) must raise, not mis-decode
+    # a sequential stream mutated to SOF2 is an ILLEGAL progressive stream
+    # (its single scan has the full-band header Ss=0,Se=63 — a progressive
+    # DC scan must be exactly [0,0] per B.2.3) and must raise, not mis-decode
     enc = bytearray(jpeg_bytes(b"ab"))
     enc[enc.index(0xC0, 2, None)] = 0xC2  # SOF0 marker byte -> SOF2
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="B.2.3"):
         decode_jpeg(bytes(enc))
 
 
@@ -852,3 +854,111 @@ def test_jpeg420_decode_summary_matches_source(spark):
         for r in extract_features(media, dim=8, use_real=True).collect()
     }
     assert feats[2]["features"][0] == 16 * 300  # width from the 4:2:0 frame
+
+
+def test_jpeg_progressive_roundtrip_exact():
+    """Progressive (SOF2) constant-block streams: DC successive
+    approximation (first scan at Al=1 + refinement bit plane) and pure-
+    EOBRUN AC scans round-trip bit-exactly, grayscale and interleaved-DC
+    color, across restart intervals."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _color_planes_of,
+        decode_jpeg,
+        jpeg_progressive_bytes,
+    )
+
+    rng = np.random.RandomState(17)
+    for n, ri in [(1, None), (7, 1), (16, 3), (33, 5)]:
+        data = bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
+        for nc in (1, 3):
+            img = decode_jpeg(jpeg_progressive_bytes(data, restart_interval=ri, ncomp=nc))
+            assert img.get("progressive") is True and img["ncomp"] == nc
+            px = img["pixels"]
+            Y = px[..., 0] if nc == 3 else px
+            assert Y[0, ::8].tobytes() == data, (n, ri, nc)
+            if nc == 3:
+                exp = np.array([_color_planes_of(v) for v in data], dtype=np.uint8)
+                for ci in (1, 2):
+                    assert (px[0, ::8, ci] == exp[:, ci]).all(), (n, ri, ci)
+
+
+def test_jpeg_progressive_successive_approximation_exact():
+    """The full SA machinery against random NON-constant blocks: split
+    spectral bands, a three-level refinement chain (Al 2 -> 1 -> 0) for DC
+    and AC, EOB-run accounting with buffered correction bits, ZRL-in-
+    refinement, restart intervals — decoded pixels must equal an
+    independently computed IDCT of the dequantized coefficients for every
+    block."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _ZIGZAG,
+        _dct_matrix,
+        _progressive_stream,
+        decode_jpeg,
+    )
+
+    rng = np.random.RandomState(29)
+    C = _dct_matrix()
+    inv = np.argsort(_ZIGZAG)
+    q = np.ones(64, dtype=np.int64)
+    scans = [
+        ("dc", [0], 0, 2), ("dc", [0], 2, 1), ("dc", [0], 1, 0),
+        ("ac", 0, 1, 20, 0, 2), ("ac", 0, 21, 63, 0, 2),
+        ("ac", 0, 1, 20, 2, 1), ("ac", 0, 21, 63, 2, 1),
+        ("ac", 0, 1, 20, 1, 0), ("ac", 0, 21, 63, 1, 0),
+    ]
+    for trial in range(12):
+        nb = rng.randint(1, 28)
+        blocks = np.zeros((1, nb, 64), dtype=np.int64)
+        for i in range(nb):
+            nz = rng.randint(0, 14)
+            idx = rng.choice(np.arange(1, 64), size=nz, replace=False)
+            blocks[0, i, idx] = rng.randint(-120, 121, size=nz)
+            blocks[0, i, 0] = rng.randint(-1000, 1001)
+        ri = [None, 1, 3, 7][trial % 4]
+        enc = _progressive_stream([blocks], 8 * nb, 8, [(1, 1)], q, scans, restart_interval=ri)
+        img = decode_jpeg(enc)
+        for i in range(nb):
+            coef = blocks[0, i][inv].reshape(8, 8).astype(float)
+            exp = np.clip(np.round(C.T @ coef @ C + 128.0), 0, 255).astype(np.uint8)
+            assert (img["pixels"][:, 8 * i : 8 * i + 8] == exp).all(), (trial, i, ri)
+    # dense blocks: heavy correction-bit traffic through a 4-level chain
+    blocks = rng.randint(-40, 41, size=(1, 6, 64)).astype(np.int64)
+    blocks[0, :, 0] = rng.randint(-1000, 1001, size=6)
+    dense_scans = [
+        ("dc", [0], 0, 1), ("dc", [0], 1, 0),
+        ("ac", 0, 1, 63, 0, 3), ("ac", 0, 1, 63, 3, 2),
+        ("ac", 0, 1, 63, 2, 1), ("ac", 0, 1, 63, 1, 0),
+    ]
+    enc = _progressive_stream([blocks], 48, 8, [(1, 1)], q, dense_scans, restart_interval=2)
+    img = decode_jpeg(enc)
+    for i in range(6):
+        coef = blocks[0, i][inv].reshape(8, 8).astype(float)
+        exp = np.clip(np.round(C.T @ coef @ C + 128.0), 0, 255).astype(np.uint8)
+        assert (img["pixels"][:, 8 * i : 8 * i + 8] == exp).all()
+
+
+def test_jpeg_progressive_decode_summary_matches_source(spark):
+    """The multimodal_decode_jpeg_progressive oracle contract locally: a
+    six-scan SOF2 stream md5-round-trips the source text through the Spark
+    mapInPandas path with the grayscale frame geometry."""
+    import hashlib
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        jpeg_progressive_media_from_documents,
+    )
+
+    rows = [(0, "hello world"), (1, "caffé"), (2, "x" * 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = jpeg_progressive_media_from_documents(docs, restart_interval=3)
+    out = {r["media_id"]: r for r in decode_real_summary(media).collect()}
+    for did, text in rows:
+        b = text.encode("utf-8")
+        r = out[did]
+        assert r["n_units"] == len(b)
+        assert r["rate"] == 8 * len(b) and r["duration_ms"] == 8
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
