@@ -941,6 +941,56 @@ def test_jpeg_progressive_successive_approximation_exact():
         assert (img["pixels"][:, 8 * i : 8 * i + 8] == exp).all()
 
 
+def test_jpeg_progressive_subsampled_roundtrip_exact():
+    """Progressive x subsampling: a 4:2:0 SOF2 stream (interleaved six-block
+    DC MCUs at mixed sampling factors + per-component non-interleaved AC
+    scans on each component's own block grid) decodes exactly, across
+    restart intervals."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _color_planes_of,
+        _progressive_stream,
+        _y_quad_of,
+        decode_jpeg,
+    )
+
+    data = bytes(range(0, 256, 7)) + b"pq"
+    n = len(data)
+    Y = np.zeros((2, 2 * n, 64), dtype=np.int64)
+    Cb = np.zeros((1, n, 64), dtype=np.int64)
+    Cr = np.zeros((1, n, 64), dtype=np.int64)
+    for i, v in enumerate(data):
+        q4 = _y_quad_of(v)
+        _, cb, cr = _color_planes_of(v)
+        Y[0, 2 * i, 0], Y[0, 2 * i + 1, 0] = 8 * (q4[0] - 128), 8 * (q4[1] - 128)
+        Y[1, 2 * i, 0], Y[1, 2 * i + 1, 0] = 8 * (q4[2] - 128), 8 * (q4[3] - 128)
+        Cb[0, i, 0], Cr[0, i, 0] = 8 * (cb - 128), 8 * (cr - 128)
+    q = np.ones(64, dtype=np.int64)
+    scans = [
+        ("dc", [0, 1, 2], 0, 1), ("dc", [0, 1, 2], 1, 0),
+        ("ac", 0, 1, 63, 0, 1), ("ac", 1, 1, 63, 0, 1), ("ac", 2, 1, 63, 0, 1),
+        ("ac", 0, 1, 63, 1, 0), ("ac", 1, 1, 63, 1, 0), ("ac", 2, 1, 63, 1, 0),
+    ]
+    for ri in (None, 2, 5):
+        enc = _progressive_stream(
+            [Y, Cb, Cr], 16 * n, 16, [(2, 2), (1, 1), (1, 1)], q, scans, restart_interval=ri
+        )
+        img = decode_jpeg(enc)
+        assert img["progressive"] and img["sampling"] == [(2, 2), (1, 1), (1, 1)]
+        px = img["pixels"]
+        assert px.shape == (16, 16 * n, 3) and img["mcu_w"] == 16
+        Yp = px[..., 0]
+        assert bytes(Yp[0, ::16]) == data, ri
+        for i, v in enumerate(data):
+            q4 = _y_quad_of(v)
+            _, cb, cr = _color_planes_of(v)
+            x = 16 * i
+            assert (Yp[:8, x : x + 8] == q4[0]).all() and (Yp[:8, x + 8 : x + 16] == q4[1]).all()
+            assert (Yp[8:, x : x + 8] == q4[2]).all() and (Yp[8:, x + 8 : x + 16] == q4[3]).all()
+            assert (px[:, x : x + 16, 1] == cb).all() and (px[:, x : x + 16, 2] == cr).all()
+
+
 def test_jpeg_progressive_decode_summary_matches_source(spark):
     """The multimodal_decode_jpeg_progressive oracle contract locally: a
     six-scan SOF2 stream md5-round-trips the source text through the Spark
