@@ -732,6 +732,46 @@ def q_multimodal_decode_jpeg_progressive(spark, sf_dir):
     return decode_real_summary(media)
 
 
+def q_multimodal_decode_png(spark, sf_dir):
+    """REAL PNG decode, zero external libs (zlib is stdlib): documents ->
+    spec-valid PNG streams where the text bytes are five identical scanlines
+    written through CYCLING filters (None/Sub/Up/Average/Paeth — every
+    predictor appears in every payload) with the color type rotating by
+    doc_id across grayscale / truecolor / indexed+PLTE -> the pure-numpy
+    decoder (chunk walk + CRC32 verify, zlib inflate, all five unfilters,
+    palette application) -> per-file summary whose content_md5 covers ALL
+    recovered rows. Oracle recomputes every column from the source table
+    (md5(repeat(text, 5))) — the whole filter family round-trips hash-exact."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        png_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = png_media_from_documents(docs, limit=MEDIA_LIMIT, interlace=0)
+    return decode_real_summary(media)
+
+
+def q_multimodal_decode_png_adam7(spark, sf_dir):
+    """REAL interlaced (Adam7) PNG decode: same five-row layout and rotating
+    color types as multimodal_decode_png, but each stream is split into the
+    seven Adam7 passes — every pass filtered independently with its own
+    predictor cycle — so decoding exercises pass-geometry extraction,
+    per-pass unfiltering and de-interlacing reassembly. The oracle is the
+    same md5(repeat(text, 5)) twin: interlacing must be a pure re-ordering
+    or the hash breaks."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        png_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = png_media_from_documents(docs, limit=MEDIA_LIMIT, interlace=1)
+    return decode_real_summary(media)
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -781,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg_color": q_multimodal_decode_jpeg_color,
         "multimodal_decode_jpeg420": q_multimodal_decode_jpeg420,
         "multimodal_decode_jpeg_progressive": q_multimodal_decode_jpeg_progressive,
+        "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_png_adam7": q_multimodal_decode_png_adam7,
     }
 
 
@@ -1219,6 +1261,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * octet_length(encode(text)) AS INTEGER) AS rate,
                    CAST(8 AS INTEGER) AS duration_ms,
                    md5(text) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # PNG: the text bytes are FIVE identical scanlines (one per filter
+        # type), so content_md5 covers all rows -> md5 of the text repeated;
+        # width = byte count, height = 5. Same twin gates the Adam7 entry:
+        # interlacing must be a pure pixel re-ordering.
+        "multimodal_decode_png": f"""
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS rate,
+                   CAST(5 AS INTEGER) AS duration_ms,
+                   md5(repeat(text, 5)) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        "multimodal_decode_png_adam7": f"""
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS rate,
+                   CAST(5 AS INTEGER) AS duration_ms,
+                   md5(repeat(text, 5)) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,
     }

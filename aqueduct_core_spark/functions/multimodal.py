@@ -5,10 +5,12 @@ feature-extract / resize / frame-sample run as Arrow-batched functions over
 `mapInPandas` so payload bytes never round-trip through per-row Python.
 
 Decode comes in three tiers:
-  * REAL, lib-free: WAV (RIFF chunk walk + PCM), PPM (P6) and BMP (24-bpp)
-    are parsed in pure numpy — `use_real=True` is a genuinely exercised path
-    for audio/image, oracle-gated end to end (multimodal_decode_real).
-  * REAL, pluggable: kinds needing codec libraries (video; jpeg/mp3/...)
+  * REAL, lib-free: WAV (RIFF chunk walk + PCM), PPM (P6), BMP (24-bpp),
+    PNG (zlib + all five predictors + Adam7) and the full DCT JPEG family
+    (baseline SOF0 incl. YCbCr subsampling and restart intervals;
+    progressive SOF2) are parsed in pure numpy/stdlib — `use_real=True` is
+    a genuinely exercised path for audio/image, oracle-gated end to end.
+  * REAL, pluggable: kinds needing codec libraries (video; mp3/mp4/...)
     dispatch through `register_decoder` — Pillow/ffmpeg plug in on a cluster;
     in this container an unregistered kind raises NotImplementedError.
   * FAKE: the default deterministic stand-in derives features from the payload
@@ -19,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -174,6 +177,228 @@ def decode_bmp(payload: bytes) -> dict:
     if flip:
         px = px[::-1]
     return {"width": w, "height": h, "pixels": px[:, :, ::-1]}  # BGR -> RGB
+
+
+# ----------------------------------------------------------------- PNG
+# Pure-stdlib PNG (RFC 2083 / ISO 15948): zlib is in the Python standard
+# library, so unlike JPEG nothing here needs hand-rolled entropy coding —
+# the codec work is the chunk grammar (length/tag/body/CRC32), the five
+# scanline predictors (None/Sub/Up/Average/Paeth), the three integer color
+# types (0 grayscale, 2 truecolor, 3 indexed+PLTE) and Adam7 interlacing
+# (seven sub-images, each filtered independently — the progressive-JPEG
+# analog on the prediction side). Bit depth 8 only; 1/2/4/16-bit packing
+# and color type 4/6 alpha raise loudly instead of mis-decoding.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: Adam7 pass origins/strides (x0, y0, dx, dy), spec order
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Paeth predictor (PNG filter 4), vectorized over int16 arrays: nearest
+    of (left, up, upper-left) to p = left + up - upper_left, ties broken
+    left -> up -> upper-left per spec."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply filter `ftype` to one raw scanline (uint8, width*bpp bytes);
+    `prev` is the RECONSTRUCTED prior scanline (zeros at a pass start)."""
+    r = row.astype(np.int16)
+    up = prev.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]]) if r.size else r
+    ul = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]]) if up.size else up
+    if ftype == 0:
+        d = r
+    elif ftype == 1:
+        d = r - left
+    elif ftype == 2:
+        d = r - up
+    elif ftype == 3:
+        d = r - ((left + up) >> 1)
+    elif ftype == 4:
+        d = r - _paeth_vec(left, up, ul)
+    else:
+        raise ValueError(f"PNG filter type {ftype} out of range")
+    return (d & 0xFF).astype(np.uint8)
+
+
+def _png_unfilter_row(ftype: int, data: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one scanline from its filtered bytes. Up is vectorized;
+    Sub reduces to a per-channel cumulative sum; Average/Paeth carry a true
+    left-neighbor recurrence, so they walk the row (rows here are short —
+    at scale a cluster registers a real decoder via register_decoder)."""
+    n = data.size
+    if ftype == 0:
+        return data.copy()
+    if ftype == 2:
+        return ((data.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
+    if ftype == 1:
+        # recon[i] = data[i] + recon[i-bpp]: cumsum per byte lane, mod 256
+        lanes = data[: n - n % bpp].reshape(-1, bpp).astype(np.int64)
+        out = np.cumsum(lanes, axis=0) & 0xFF
+        return out.astype(np.uint8).reshape(-1)
+    out = np.zeros(n, np.int16)
+    up = prev.astype(np.int16)
+    for i in range(n):
+        a = out[i - bpp] if i >= bpp else 0
+        b = up[i]
+        c = up[i - bpp] if i >= bpp else 0
+        if ftype == 3:
+            pred = (a + b) >> 1
+        else:  # 4 — scalar Paeth, same tie-break order as _paeth_vec
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (int(data[i]) + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _png_pass_views(w: int, h: int, interlace: int):
+    """Yield (x0, y0, dx, dy, pw, ph) for each non-empty sub-image: the seven
+    Adam7 passes, or the single pass of a sequential image."""
+    passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def png_encode(
+    img: np.ndarray,
+    color_type: int = 0,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Spec-valid PNG writer over a uint8 array: (h, w) for grayscale (0) or
+    indexed (3, with `palette` (n,3) — identity grayscale when omitted),
+    (h, w, 3) for truecolor (2). Scanline filters CYCLE through all five
+    predictors (row index mod 5, per pass), so a correct decoder must
+    implement every filter to round-trip even a constant image; interlace=1
+    writes the seven Adam7 passes, each filtered independently."""
+    img = np.asarray(img, dtype=np.uint8)
+    if color_type == 2:
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("color_type 2 needs an (h, w, 3) array")
+        bpp = 3
+    elif color_type in (0, 3):
+        if img.ndim != 2:
+            raise ValueError(f"color_type {color_type} needs an (h, w) array")
+        bpp = 1
+    else:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    h, w = img.shape[:2]
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _png_pass_views(w, h, interlace):
+        sub = img[y0::dy, x0::dx].reshape(ph, pw * bpp)
+        prev = np.zeros(pw * bpp, np.uint8)
+        for r in range(ph):
+            ftype = r % 5
+            raw.append(ftype)
+            raw += _png_filter_row(ftype, sub[r], prev, bpp).tobytes()
+            prev = sub[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            palette = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+        out += _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def png_bytes(gray: bytes, height: int = 5, color_type: int = 0, interlace: int = 0) -> bytes:
+    """PNG builder for the contract queries: `height` identical rows of the
+    source bytes (width = byte count). With the encoder's cycling row
+    filters, decoding exercises every predictor; the recovered pixel bytes
+    are exactly `height` copies of `gray` (SQL oracle: md5(repeat(text, h)))."""
+    row = np.frombuffer(bytes(gray), dtype=np.uint8)
+    img = np.tile(row, (height, 1))
+    if color_type == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    return png_encode(img, color_type=color_type, interlace=interlace)
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG parser: signature, chunk walk with CRC32 verification, IHDR
+    validation, zlib inflate, per-pass unfiltering (all five predictors),
+    PLTE application for indexed images, Adam7 de-interlacing. Supports bit
+    depth 8, color types 0/2/3, both interlace methods; anything else —
+    including unknown CRITICAL chunks — raises instead of mis-decoding."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat, ended = len(_PNG_SIG), None, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            ended = True
+            break
+        elif not (tag[0] & 0x20):  # critical bit clear = critical chunk
+            raise ValueError(f"unsupported critical PNG chunk {tag!r}")
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("truncated PNG (missing IHDR or IEND)")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (0, 2, 3) or comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, color_type={ctype}, "
+            f"compression={comp}, filter={filt}, interlace={interlace})"
+        )
+    if ctype == 3 and plte is None:
+        raise ValueError("indexed PNG without PLTE")
+    bpp = 3 if ctype == 2 else 1
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    img = np.zeros((h, w * bpp), np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in _png_pass_views(w, h, interlace):
+        stride = pw * bpp
+        prev = np.zeros(stride, np.uint8)
+        for r in range(ph):
+            if off + 1 + stride > raw.size:
+                raise ValueError("PNG pixel data truncated")
+            ftype = int(raw[off])
+            row = _png_unfilter_row(ftype, raw[off + 1 : off + 1 + stride], prev, bpp)
+            off += 1 + stride
+            if bpp == 1:
+                img[y0 + r * dy, x0::dx] = row
+            else:
+                img[y0 + r * dy].reshape(w, 3)[x0::dx] = row.reshape(pw, 3)
+            prev = row
+    if off != raw.size:
+        raise ValueError("PNG pixel data has trailing bytes")
+    px = img.reshape(h, w, 3) if bpp == 3 else img
+    if ctype == 3:
+        px = plte[px]  # indexed -> RGB through the palette
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": ctype,
+        "interlace": interlace,
+        "pixels": px,
+    }
 
 
 # --------------------------------------------------------- baseline JPEG
@@ -1301,12 +1526,16 @@ def _image_features_real(payload: bytes, dim: int) -> np.ndarray:
         img = decode_ppm(payload)
     elif payload[:2] == b"BM":
         img = decode_bmp(payload)
+    elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+        img = dict(decode_png(payload))
+        if img["pixels"].ndim == 2:
+            img["pixels"] = np.repeat(img["pixels"][:, :, None], 3, axis=2)  # gray->RGB
     elif payload[:2] == b"\xff\xd8":
         img = dict(decode_jpeg(payload))
         if img["pixels"].ndim == 2:
             img["pixels"] = np.repeat(img["pixels"][:, :, None], 3, axis=2)  # gray->RGB
     else:
-        raise ValueError("unsupported image container (PPM/BMP/baseline-JPEG only without codec libs)")
+        raise ValueError("unsupported image container (PPM/BMP/PNG/DCT-JPEG only without codec libs)")
     flat = img["pixels"].reshape(-1, 3).astype(np.float64)
     means = flat.mean(axis=0) if flat.size else np.zeros(3)
     head = [float(img["width"]), float(img["height"]), means[0], means[1], means[2]]
@@ -1621,6 +1850,47 @@ def jpeg_progressive_media_from_documents(
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
+def png_media_from_documents(
+    docs: DataFrame, limit: int | None = None, height: int = 5, interlace: int = 0
+) -> DataFrame:
+    """Media table of REAL PNGs built from the documents table: each doc's
+    UTF-8 text bytes become `height` identical scanlines (width = byte
+    count), written through the cycling-filter encoder so every scanline
+    predictor (None/Sub/Up/Average/Paeth) appears in every payload. The
+    color type rotates by doc_id — grayscale (0), truecolor (2, R=G=B),
+    indexed (3, identity palette) — so one oracle entry gates all three
+    pixel layouts; interlace=1 writes Adam7 streams. The recovered plane is
+    exactly `height` copies of the text bytes (oracle: md5(repeat(text, h)))."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+    ctypes = (0, 2, 3)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        png_bytes(
+                            (t or "").encode("utf-8"),
+                            height=height,
+                            color_type=ctypes[int(did) % 3],
+                            interlace=interlace,
+                        )
+                        for did, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": [
+                        {"container": "png", "codec": "adam7" if interlace else "sequential"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
 def decode_real_summary(media: DataFrame) -> DataFrame:
     """REAL-decode summary — the oracle-gated proof that `use_real` decoding
     round-trips: each payload is container-sniffed by magic (RIFF -> WAV,
@@ -1643,6 +1913,18 @@ def decode_real_summary(media: DataFrame) -> DataFrame:
                     rows["duration_ms"].append(
                         wav["n_samples"] * 1000 // wav["sample_rate"]
                     )
+                elif payload[: len(_PNG_SIG)] == _PNG_SIG:
+                    img = decode_png(payload)
+                    # the builders write `height` identical rows of the
+                    # source bytes, so the md5 covers EVERY row — each row
+                    # travels through a different scanline predictor (the
+                    # encoder cycles all five), and under Adam7 through a
+                    # different pass split as well
+                    px = img["pixels"]
+                    content = (px[..., 0] if px.ndim == 3 else px).tobytes()
+                    rows["n_units"].append(img["width"])
+                    rows["rate"].append(int(img["width"]))
+                    rows["duration_ms"].append(int(img["height"]))
                 elif payload[:2] == b"\xff\xd8":
                     img = decode_jpeg(payload)
                     # one byte per MCU (the builders' layout): top-left pixel

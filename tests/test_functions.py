@@ -1012,3 +1012,129 @@ def test_jpeg_progressive_decode_summary_matches_source(spark):
         assert r["n_units"] == len(b)
         assert r["rate"] == 8 * len(b) and r["duration_ms"] == 8
         assert r["content_md5"] == hashlib.md5(b).hexdigest()
+
+
+def test_png_codec_roundtrip_exact():
+    """Pure-stdlib PNG codec: random images across all supported color types
+    (grayscale / truecolor / indexed), both interlace methods and awkward
+    geometries (sizes that leave empty or single-pixel Adam7 passes)
+    round-trip bit-exactly — and the encoder genuinely cycles every scanline
+    predictor, so the decoder's five unfilter paths are all on the hook."""
+    import zlib
+
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import decode_png, png_encode
+
+    rng = np.random.default_rng(11)
+    for interlace in (0, 1):
+        for ctype in (0, 2, 3):
+            for h, w in [(1, 1), (5, 37), (9, 17), (3, 200), (16, 16), (7, 1), (2, 9)]:
+                shape = (h, w, 3) if ctype == 2 else (h, w)
+                img = rng.integers(0, 256, shape, dtype=np.uint8)
+                payload = png_encode(img, color_type=ctype, interlace=interlace)
+                d = decode_png(payload)
+                assert (d["width"], d["height"]) == (w, h)
+                assert d["interlace"] == interlace and d["color_type"] == ctype
+                want = img if ctype == 2 else np.repeat(img[:, :, None], 3, axis=2)
+                got = d["pixels"] if ctype != 0 else np.repeat(d["pixels"][:, :, None], 3, axis=2)
+                assert np.array_equal(got, want)
+    # filter coverage: a >=5-row sequential image carries one row per type
+    img = rng.integers(0, 256, (10, 23), dtype=np.uint8)
+    payload = png_encode(img, color_type=0)
+    idat_pos = payload.index(b"IDAT")
+    (ln,) = __import__("struct").unpack(">I", payload[idat_pos - 4 : idat_pos])
+    raw = zlib.decompress(payload[idat_pos + 4 : idat_pos + 4 + ln])
+    assert {raw[r * 24] for r in range(10)} == {0, 1, 2, 3, 4}
+
+
+def test_png_adam7_is_pure_reordering():
+    """Interlacing must not change a single pixel: the Adam7 stream decodes
+    to exactly what the sequential stream of the same image decodes to, even
+    though every byte of the filtered representation differs."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import decode_png, png_encode
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    seq = decode_png(png_encode(img, color_type=2, interlace=0))["pixels"]
+    lace = decode_png(png_encode(img, color_type=2, interlace=1))["pixels"]
+    assert np.array_equal(seq, lace) and np.array_equal(seq, img)
+
+
+def test_png_rejects_malformed():
+    """Loud-refusal contract: corrupted CRC, unknown critical chunks,
+    truncated pixel data, unsupported header shapes and a palette-less
+    indexed image all raise instead of mis-decoding."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        png_encode,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = png_encode(img, color_type=0)
+    # flip one bit inside the IDAT body -> chunk CRC must catch it
+    bad = bytearray(good)
+    bad[good.index(b"IDAT") + 6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # unknown CRITICAL chunk (uppercase first letter) refuses; ancillary passes
+    ihdr_end = good.index(b"IHDR") + 4 + 13 + 4
+    critical = good[:ihdr_end] + _png_chunk(b"FAKE", b"x") + good[ihdr_end:]
+    with pytest.raises(ValueError, match="critical"):
+        decode_png(critical)
+    ancillary = good[:ihdr_end] + _png_chunk(b"tEXt", b"k\x00v") + good[ihdr_end:]
+    assert decode_png(ancillary)["width"] == 8
+    # unsupported bit depth / color type in an otherwise-valid header
+    for depth, ctype in ((16, 0), (8, 6), (1, 0)):
+        hdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, depth, ctype, 0, 0, 0))
+        stream = _PNG_SIG + hdr + good[ihdr_end:]
+        with pytest.raises(ValueError, match="unsupported PNG shape"):
+            decode_png(stream)
+    # indexed image whose PLTE was stripped
+    pimg = png_encode(img, color_type=3)
+    plte_pos = pimg.index(b"PLTE")
+    (plen,) = struct.unpack(">I", pimg[plte_pos - 4 : plte_pos])
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(pimg[: plte_pos - 4] + pimg[plte_pos + 8 + plen :])
+    # truncated IDAT payload (drop the IEND)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[: good.index(b"IEND") - 4])
+
+
+def test_png_decode_summary_matches_source(spark):
+    """The multimodal_decode_png / _adam7 oracle contracts locally: all three
+    rotating color types and both interlace modes md5-round-trip the text
+    through the Spark mapInPandas path, and PNG payloads feed the real
+    image-feature extractor."""
+    import hashlib
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        extract_features,
+        png_media_from_documents,
+    )
+
+    rows = [(0, "hello png"), (1, "caffé"), (2, "x" * 300)]  # gray, rgb, palette
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for interlace in (0, 1):
+        media = png_media_from_documents(docs, interlace=interlace)
+        out = {r["media_id"]: r for r in decode_real_summary(media).collect()}
+        for did, text in rows:
+            b = text.encode("utf-8")
+            r = out[did]
+            assert r["kind"] == "image"
+            assert r["n_units"] == len(b) and r["rate"] == len(b)
+            assert r["duration_ms"] == 5
+            assert r["content_md5"] == hashlib.md5(b * 5).hexdigest()
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8, use_real=True).collect()}
+    assert feats[2]["features"][0] == 300  # width = byte count
+    assert abs(feats[2]["features"][2] - ord("x")) < 1e-6  # mean R = the byte
