@@ -14,16 +14,29 @@ Physical layout::
 
     root/
       _manifests/v0000000001.json     # one immutable JSON per snapshot
+      _manifests/seg-<ms>-<id>.json   # immutable file-entry segments (shared)
       data/<commit-uuid>/_bucket=<b>/part-*.parquet
 
-A manifest lists every live data file with its bucket and schema id. Commits are
-atomic via ``os.link`` (create-if-absent) of the next version file — a concurrent
-winner makes the loser retry, which is exactly Iceberg's optimistic-commit model.
+Manifests are TWO-LEVEL (Iceberg's manifest-list / manifest-file split): the
+snapshot JSON holds schemas/txn/properties plus REFERENCES to immutable segment
+files, each holding a slice of the live file-entry list. A commit reuses every
+parent segment whose entries all survive and writes ONE new segment with the
+added entries (plus survivors of any segment it shrank) — so commit metadata
+cost is O(files changed), not O(files in table). A metadata-only commit
+(consumer registration, txn watermark, pipe state) writes zero segment bytes.
+Commits are atomic via ``os.link`` (create-if-absent) of the next version
+file — a concurrent winner makes the loser retry, which is exactly Iceberg's
+optimistic-commit model. Segments orphaned by losing CAS attempts are
+reclaimed by expire_snapshots after a grace window.
 
-Scale notes (100 TB): all data stays in executors — the driver only touches the
-manifest (O(number of files) JSON). Bucket pruning means a MERGE that touches K of
-N buckets plans a scan over only K buckets' files; with Iceberg this maps onto
-`bucket(conv_id)` partition transforms and metadata-only planning.
+Scale notes (100 TB): all data stays in executors — the driver only touches
+manifests. At ~1M live files a single-level manifest is a ~10^2 MB JSON
+rewritten per commit (and re-parsed per read); the two-level form writes only
+the commit's own entries, and readers parse each immutable segment once
+(process-wide cache keyed by segment path). Bucket pruning means a MERGE that
+touches K of N buckets plans a scan over only K buckets' files; with Iceberg
+this maps onto `bucket(conv_id)` partition transforms and metadata-only
+planning.
 """
 
 from __future__ import annotations
@@ -44,6 +57,15 @@ from aqueduct_core_spark.lake.fsio import get_fs
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 BUCKET_COL = "_bucket"
+#: segment files: _manifests/seg-<epoch-ms>-<uuid>.json (immutable; the epoch
+#: in the name is what the GC grace window reads — no extra stat round trip)
+SEGMENT_PREFIX = "seg-"
+#: coalesce the whole entry list into one segment when a commit would
+#: otherwise reference more than this many (amortized O(files/K) per commit)
+DEFAULT_MAX_SEGMENTS = 32
+#: never GC a segment younger than this — it may belong to an in-flight
+#: commit whose snapshot JSON has not been published yet
+DEFAULT_SEGMENT_GC_GRACE_S = 3600.0
 # Columns whose per-file (min, max) is recorded in the manifest at write time
 # (override per table via properties["stats_cols"]). The reference serves
 # `WHERE msg_offset > ?` from a B-tree (SQLiteQueries.java offset index); at
@@ -92,6 +114,26 @@ def bucket_expr(col_name: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col_name)), F.lit(n_buckets)).cast("int")
 
 
+#: process-wide parse cache for immutable segment files. Entry dicts are shared
+#: between the cache and every hydrated Snapshot — manifest entries are
+#: treated as immutable everywhere (writers build NEW dicts), so sharing is
+#: safe and a changelog walk over V versions parses each segment once, not V
+#: times. Bounded by wholesale clear: segments are small JSON and re-parse is
+#: cheap relative to unbounded growth in a long-lived driver.
+_SEGMENT_CACHE: dict[str, list[dict]] = {}
+_SEGMENT_CACHE_MAX = 4096
+
+
+def _load_segment(path: str) -> list[dict]:
+    entries = _SEGMENT_CACHE.get(path)
+    if entries is None:
+        entries = json.loads(get_fs().read_text(path))
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.clear()
+        _SEGMENT_CACHE[path] = entries
+    return entries
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -104,6 +146,10 @@ class Snapshot:
     properties: dict = field(default_factory=dict)
     parent: int | None = None
     committed_at: float = 0.0
+    #: segment layout this snapshot was HYDRATED from (None for in-memory
+    #: snapshots built by writers — the layout is derived at commit time by
+    #: diffing against the parent's). Not part of the logical state.
+    segments: list[dict] | None = field(default=None, compare=False)
 
     def schema(self) -> StructType:
         for s in self.schemas:
@@ -135,7 +181,14 @@ class Snapshot:
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
+        """Parse the INLINE (single-level) form only — persisted two-level
+        manifests are hydrated by LakeTable.snapshot_at, which resolves the
+        segment references through the FS seam."""
         d = json.loads(s)
+        if "segments" in d:
+            raise ValueError(
+                "two-level manifest requires LakeTable.snapshot_at for hydration"
+            )
         return Snapshot(**d)
 
 
@@ -193,7 +246,16 @@ class LakeTable:
         return self.snapshot_at(v)
 
     def snapshot_at(self, version: int) -> Snapshot:
-        return Snapshot.from_json(get_fs().read_text(self._manifest_path(version)))
+        d = json.loads(get_fs().read_text(self._manifest_path(version)))
+        segments = d.pop("segments", None)
+        if segments is not None:
+            files: list[dict] = []
+            for seg in segments:
+                files.extend(_load_segment(seg["path"]))
+            d["files"] = files
+        snap = Snapshot(**d)
+        snap.segments = segments
+        return snap
 
     def versions(self) -> list[int]:
         d = os.path.join(self.root, MANIFEST_DIR)
@@ -559,8 +621,11 @@ class LakeTable:
             except CommitConflict:
                 continue  # racing registration/commit — recompute keep set
         live: set[str] = set()
+        live_segments: set[str] = set()
         for v in keep:
-            live.update(f["path"] for f in self.snapshot_at(v).files)
+            kept = self.snapshot_at(v)
+            live.update(f["path"] for f in kept.files)
+            live_segments.update(s["path"] for s in kept.segments or [])
         fs = get_fs()
         removed = 0
         for v in versions:
@@ -570,6 +635,28 @@ class LakeTable:
                         fs.remove(f["path"])
                         removed += 1
                 fs.remove(self._manifest_path(v))
+        # GC segment files no kept manifest references — expired versions'
+        # private segments plus orphans from losing CAS attempts. The grace
+        # window protects segments of IN-FLIGHT commits (written before their
+        # snapshot publish): the epoch in the filename is the write time.
+        grace_s = float(
+            cur.properties.get("segment_gc_grace_s", DEFAULT_SEGMENT_GC_GRACE_S)
+        )
+        now_ms = time.time() * 1000
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        for name in fs.listdir(mdir):
+            if not (name.startswith(SEGMENT_PREFIX) and name.endswith(".json")):
+                continue
+            p = os.path.join(mdir, name)
+            if p in live_segments:
+                continue
+            try:
+                born_ms = int(name[len(SEGMENT_PREFIX) :].split("-", 1)[0])
+            except ValueError:
+                continue
+            if now_ms - born_ms >= grace_s * 1000:
+                fs.remove(p)
+                _SEGMENT_CACHE.pop(p, None)
         # sweep empty commit dirs
         data_root = os.path.join(self.root, DATA_DIR)
         for d in fs.listdir(data_root):
@@ -586,13 +673,96 @@ class LakeTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def _segment_layout(self, snap: Snapshot) -> list[dict]:
+        """Derive the two-level layout for `snap` by diffing its entry list
+        against the parent's persisted segments.
+
+        Reuses every parent segment whose entries ALL survive unchanged
+        (identity by full-entry equality, so a replaced entry for the same
+        path counts as remove+add); everything else — new entries plus the
+        survivors of shrunk segments — lands in ONE new segment file written
+        before the snapshot publish. When the layout would exceed
+        `manifest_max_segments` the whole list coalesces into a single
+        segment: an O(table) rewrite at 1/K frequency, i.e. amortized
+        O(table/K) per commit (the LSM bound)."""
+        new_by_path = {f["path"]: f for f in snap.files}
+        reused: list[dict] = []
+        pool: list[dict] = []
+        claimed: set[str] = set()
+        if snap.parent is not None:
+            try:
+                parent_doc = json.loads(
+                    get_fs().read_text(self._manifest_path(snap.parent))
+                )
+                parent_segs = parent_doc.get("segments") or []
+            except Exception:
+                # parent unreadable (expired under us / inline v1): no reuse —
+                # correctness is preserved, the publish CAS still arbitrates
+                parent_segs = []
+            for seg in parent_segs:
+                try:
+                    entries = _load_segment(seg["path"])
+                except Exception:
+                    continue  # vanished segment: its survivors fall to the pool
+                survivors = [
+                    e
+                    for e in entries
+                    if e["path"] not in claimed and new_by_path.get(e["path"]) == e
+                ]
+                if len(survivors) == len(entries) and entries:
+                    reused.append(seg)
+                else:
+                    pool.extend(survivors)
+                claimed.update(e["path"] for e in survivors)
+        pool.extend(f for f in snap.files if f["path"] not in claimed)
+        max_segments = int(
+            snap.properties.get("manifest_max_segments", DEFAULT_MAX_SEGMENTS)
+        )
+        if len(reused) + (1 if pool else 0) > max_segments:
+            pool = list(snap.files)
+            reused = []
+        segments = list(reused)
+        if pool:
+            name = f"{SEGMENT_PREFIX}{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:12]}.json"
+            seg_path = os.path.join(self.root, MANIFEST_DIR, name)
+            try:
+                get_fs().publish_if_absent(json.dumps(pool), seg_path)
+            except FileExistsError:
+                # the name is ours alone (uuid): an exists on retry is the
+                # ambiguous-success case — the atomic publish already landed
+                pass
+            if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+                _SEGMENT_CACHE.clear()
+            _SEGMENT_CACHE[seg_path] = pool
+            segments.append({"path": seg_path, "n_files": len(pool)})
+        return segments
+
     def _write_manifest(self, snap: Snapshot) -> None:
         # publish_if_absent is THE storage commit primitive (see lake/fsio.py
-        # for the HDFS create(overwrite=false) / S3 conditional-PUT mapping)
+        # for the HDFS create(overwrite=false) / S3 conditional-PUT mapping).
+        # Segments are published FIRST (immutable, uniquely named); a crash or
+        # a losing CAS leaves only grace-window-GC'd orphans, never a
+        # published snapshot with missing entries.
+        segments = self._segment_layout(snap)
+        body = json.dumps(
+            {
+                "version": snap.version,
+                "current_schema_id": snap.current_schema_id,
+                "schemas": snap.schemas,
+                "n_buckets": snap.n_buckets,
+                "bucket_key": snap.bucket_key,
+                "segments": segments,
+                "txn": snap.txn,
+                "properties": snap.properties,
+                "parent": snap.parent,
+                "committed_at": snap.committed_at,
+            }
+        )
         try:
-            get_fs().publish_if_absent(snap.to_json(), self._manifest_path(snap.version))
+            get_fs().publish_if_absent(body, self._manifest_path(snap.version))
         except FileExistsError as e:
             raise CommitConflict(f"version {snap.version} already committed") from e
+        snap.segments = segments
 
 
 def _align(df: DataFrame, written: StructType, target: StructType) -> DataFrame:

@@ -46,6 +46,9 @@ class FlakyFS:
         self.rng = random.Random(seed)
         self.fail_rate = fail_rate
         self.ambiguous_every = ambiguous_every
+        #: when set, only publishes whose path contains this substring are
+        #: eligible for the lost-response fault (manifests vs segments)
+        self.ambiguous_path_sub = None
         self.publishes = 0
         self.faults = 0
         self.ambiguous = 0
@@ -65,7 +68,14 @@ class FlakyFS:
             out = fn(*args, **kwargs)
             if name == "publish_if_absent":
                 self.publishes += 1
-                if self.ambiguous_every and self.publishes % self.ambiguous_every == 0:
+                eligible = self.ambiguous_path_sub is None or (
+                    self.ambiguous_path_sub in args[1]
+                )
+                if (
+                    eligible
+                    and self.ambiguous_every
+                    and self.publishes % self.ambiguous_every == 0
+                ):
                     self.ambiguous += 1
                     raise TransientStorageError("injected lost response (create landed)")
             return out
@@ -140,13 +150,40 @@ def test_ambiguous_commit_without_retry_layer_is_replay_safe(spark, tmp_path):
             n_buckets=4, properties={"merge_mode": "mor"},
         )
         batch = events_df(spark, [ev(i, conv=f"a{i % 3}", turn=0, t=i) for i in range(1, 21)])
-        flaky.ambiguous_every = 1  # next publish: create lands, response lost
+        flaky.ambiguous_every = 1  # next MANIFEST publish: create lands, response lost
+        flaky.ambiguous_path_sub = "/v"  # the snapshot JSON, not its segment
         with pytest.raises(TransientStorageError):
             merge_change_batch(table, batch, batch_id=0)
         flaky.ambiguous_every = 0
         r = merge_change_batch(table, batch, batch_id=0)  # the replay
         assert r.skipped  # commit HAD landed; idempotence skips
         assert read_transcripts(table).count() == 3  # a0/a1/a2 latest turns
+        assert all(get_fs().exists(f["path"]) for f in table.current().files)
+    finally:
+        set_fs(orig)
+
+
+def test_ambiguous_segment_publish_is_replay_safe(spark, tmp_path):
+    """Lost response on the SEGMENT publish (which precedes the snapshot
+    publish): the commit never landed, so the replay must RE-APPLY — and the
+    first attempt's orphaned segment must not corrupt anything."""
+    orig = get_fs()
+    flaky = FlakyFS(LocalFS(), fail_rate=0.0, ambiguous_every=0)
+    set_fs(flaky)
+    try:
+        table = LakeTable.create(
+            spark, str(tmp_path / "t"), TRANSCRIPT_PHYSICAL_SCHEMA, bucket_key="conv_id",
+            n_buckets=4, properties={"merge_mode": "mor"},
+        )
+        batch = events_df(spark, [ev(i, conv=f"a{i % 3}", turn=0, t=i) for i in range(1, 21)])
+        flaky.ambiguous_every = 1
+        flaky.ambiguous_path_sub = "seg-"  # only the segment write is ambiguous
+        with pytest.raises(TransientStorageError):
+            merge_change_batch(table, batch, batch_id=0)
+        flaky.ambiguous_every = 0
+        r = merge_change_batch(table, batch, batch_id=0)  # the replay
+        assert not r.skipped  # no manifest landed -> genuine re-apply
+        assert read_transcripts(table).count() == 3
         assert all(get_fs().exists(f["path"]) for f in table.current().files)
     finally:
         set_fs(orig)
