@@ -114,6 +114,17 @@ class LocalFS:
         finally:
             os.unlink(tmp)
 
+    def write_text_atomic(self, text: str, path: str) -> None:
+        """Overwrite `path` with `text`; readers see old or new content, never
+        a torn write. ADVISORY data only (the version hint) — last writer
+        wins, no CAS."""
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic overwrite
+
 
 class _TailSlice(io.RawIOBase):
     """File-like view that serves only the final `len(tail)` bytes of a
@@ -362,6 +373,39 @@ class HadoopFS:
             fs.delete(tmp, False)
             raise FileExistsError(final_path)  # CAS lost: dst exists
 
+    def write_text_atomic(self, text: str, path: str) -> None:
+        """Overwrite `path` (advisory data — the version hint; last writer
+        wins). Object stores: one full-object PUT, atomic at close. HDFS-like:
+        temp + rename over the destination (rename-with-overwrite is the
+        namenode's atomic primitive), so readers never see a torn body."""
+        p = self._p(path)
+        fs = self._fs(p)
+        scheme = p.toUri().getScheme()
+        if scheme in self._OBJECT_STORE_SCHEMES:
+            try:
+                out = fs.create(p, True)
+            except Exception as e:
+                raise self._translate(e) from None
+            self._write_stream(out, text)
+            return
+        tmp = self._p(path + f".tmp.{uuid.uuid4().hex}")
+        try:
+            out = fs.create(tmp, True)
+        except Exception as e:
+            raise self._translate(e) from None
+        self._write_stream(out, text)
+        try:
+            # Hadoop's FileContext rename(OVERWRITE) analog: delete-then-rename
+            # is fine for advisory content — a reader racing the gap just
+            # misses the hint and falls back to the listing.
+            if fs.exists(p):
+                fs.delete(p, False)
+            if not bool(fs.rename(tmp, p)):
+                fs.delete(tmp, False)
+        except Exception as e:
+            fs.delete(tmp, False)
+            raise self._translate(e) from None
+
 
 class TransientStorageError(OSError):
     """A retryable storage fault — the S3 503 SlowDown / timeout class."""
@@ -444,6 +488,10 @@ class RetryingFS:
 
     def publish_if_absent(self, text, final_path):
         return self._call("publish_if_absent", text, final_path)
+
+    def write_text_atomic(self, text, path):
+        # idempotent overwrite — safe to retry blindly
+        return self._call("write_text_atomic", text, path)
 
 
 _FS = LocalFS()

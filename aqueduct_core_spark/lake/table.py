@@ -66,6 +66,10 @@ DEFAULT_MAX_SEGMENTS = 32
 #: never GC a segment younger than this — it may belong to an in-flight
 #: commit whose snapshot JSON has not been published yet
 DEFAULT_SEGMENT_GC_GRACE_S = 3600.0
+#: advisory latest-version pointer (Iceberg's version-hint.text): current()
+#: reads the hint and probes forward instead of LISTing the manifest dir —
+#: O(1) GETs on the hot read path instead of an O(versions+segments) LIST
+VERSION_HINT = "version-hint.text"
 # Columns whose per-file (min, max) is recorded in the manifest at write time
 # (override per table via properties["stats_cols"]). The reference serves
 # `WHERE msg_offset > ?` from a B-tree (SQLiteQueries.java offset index); at
@@ -670,6 +674,21 @@ class LakeTable:
         return os.path.join(self.root, MANIFEST_DIR, f"v{version:010d}.json")
 
     def _latest_version(self) -> int | None:
+        """Resolve the head version: hint + probe-forward (normally ONE
+        existence check), with the full listing as the fallback when the hint
+        is missing, unreadable, or points at an expired manifest. The hint is
+        ADVISORY — correctness never depends on it, because a stale hint can
+        only be BEHIND the head (it is written after the publish), and
+        probing forward from behind still lands on the head."""
+        fs = get_fs()
+        try:
+            v = int(fs.read_text(os.path.join(self.root, VERSION_HINT)).strip())
+        except Exception:
+            v = None
+        if v is not None and v > 0 and fs.exists(self._manifest_path(v)):
+            while fs.exists(self._manifest_path(v + 1)):
+                v += 1
+            return v
         vs = self.versions()
         return vs[-1] if vs else None
 
@@ -763,6 +782,14 @@ class LakeTable:
         except FileExistsError as e:
             raise CommitConflict(f"version {snap.version} already committed") from e
         snap.segments = segments
+        try:
+            # best-effort: a lost/stale hint only costs the reader a probe or
+            # a listing fallback, never correctness (see _latest_version)
+            get_fs().write_text_atomic(
+                str(snap.version), os.path.join(self.root, VERSION_HINT)
+            )
+        except Exception:
+            pass
 
 
 def _align(df: DataFrame, written: StructType, target: StructType) -> DataFrame:

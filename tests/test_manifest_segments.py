@@ -196,3 +196,32 @@ def test_v1_inline_manifest_upgrades_on_next_commit(spark, tmp_table_dir):
     head = _doc(table, table.current().version)
     assert "segments" in head and "files" not in head
     assert read_transcripts(table).count() == 24
+
+
+def test_version_hint_fast_path_and_fallbacks(spark, tmp_table_dir):
+    """current() resolves the head from version-hint.text + probe-forward
+    (Iceberg's version-hint contract): a stale hint can only be BEHIND the
+    head, so probing forward still lands on it; a corrupt or missing hint
+    falls back to the listing. The hint is advisory — never correctness."""
+    from aqueduct_core_spark.lake.table import VERSION_HINT
+
+    table = _mk_table(spark, tmp_table_dir)
+    _merge(table, spark, 0, 0)
+    _merge(table, spark, 1, 100)
+    head = table.current().version
+    hint_path = os.path.join(tmp_table_dir, VERSION_HINT)
+    assert get_fs().read_text(hint_path).strip() == str(head)
+    # stale hint (a writer whose hint write was lost): probe-forward recovers
+    get_fs().write_text_atomic("1", hint_path)
+    assert table.current().version == head
+    # corrupt hint: listing fallback
+    get_fs().write_text_atomic("not-a-version", hint_path)
+    assert table.current().version == head
+    # missing hint: listing fallback
+    get_fs().remove(hint_path)
+    assert table.current().version == head
+    # hint pointing at an expired manifest: listing fallback
+    _merge(table, spark, 2, 200)
+    table.expire_snapshots(keep_last=1)
+    get_fs().write_text_atomic("1", os.path.join(tmp_table_dir, VERSION_HINT))
+    assert table.current().version == table.versions()[-1]
