@@ -42,6 +42,7 @@ from aqueduct_core_spark.lake.table import (
     Snapshot,
     _file_may_match,
     bucket_expr,
+    cluster_opts,
 )
 from aqueduct_core_spark.schema import (
     CONV_DELETE_SENTINEL_TURN_IDX,
@@ -259,7 +260,14 @@ def merge_change_batch(
                     target.unionByName(src).repartition(n_out, F.col(BUCKET_COL)),
                     group_prefix=(BUCKET_COL,),
                 )
-                new_files = table.write_files(guarded, snap, already_bucketed=True)
+                # COW rewrites whole buckets, so it clusters like compaction:
+                # the rewritten base files carry tight, disjoint ts ranges
+                # and windowed reads keep pruning between compactions too.
+                cc, tfr = cluster_opts(snap)
+                new_files = table.write_files(
+                    guarded, snap, already_bucketed=True,
+                    cluster_col=cc, max_records_per_file=tfr,
+                )
                 keep = [f for f in snap.files if f["bucket"] not in set(affected)]
         finally:
             if mode != "mor":

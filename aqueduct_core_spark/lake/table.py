@@ -78,6 +78,19 @@ VERSION_HINT = "version-hint.text"
 DEFAULT_STATS_COLS = ["_lsn", "ts"]
 
 
+def cluster_opts(snap: "Snapshot") -> tuple[str | None, int | None]:
+    """Table-level clustering knobs for base-file rewrites, from snapshot
+    properties: `compaction.cluster_col` (default "ts"; set "" to disable)
+    orders each bucket's rewrite output, `compaction.target_file_rows`
+    (default unset = one file per bucket) bounds file size so the sorted run
+    splits into range-disjoint files the manifest stats can prune. Applied by
+    compaction and COW rewrites; delta appends stay unsorted (an ingest batch
+    is already a narrow time slice — sorting the hot path buys nothing)."""
+    cc = snap.properties.get("compaction.cluster_col", "ts") or None
+    tfr = snap.properties.get("compaction.target_file_rows")
+    return cc, (int(tfr) if tfr else None)
+
+
 def _stat_scalar(v):
     """Normalize a stats value (or a caller's prune bound) to a JSON-safe,
     order-preserving scalar: ints/floats pass through, datetimes become epoch
@@ -350,6 +363,8 @@ class LakeTable:
         snap: Snapshot,
         kind: str = "base",
         already_bucketed: bool = False,
+        cluster_col: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
         """Write df (must carry BUCKET_COL) as one commit's data files; returns file
         entries for the manifest. Distributed write, driver-side enumeration only.
@@ -358,7 +373,19 @@ class LakeTable:
         BUCKET_COL at write_parallelism(snap) (the merge path repartitions
         before LWW resolution so the whole apply runs on one exchange); the
         write then skips its own repartition instead of shuffling a second
-        time."""
+        time.
+
+        `cluster_col` sorts each output task by (bucket, cluster_col) before
+        writing — a task-local sort, no extra exchange — and
+        `max_records_per_file` chops each bucket's sorted stream into
+        bounded files. Together they are time-clustering: every file covers
+        a narrow, non-overlapping cluster_col range, so the manifest's
+        min/max stats let a windowed read open O(window) files instead of
+        one bucket-spanning file per bucket (Iceberg's sort-order rewrite;
+        reference analog: the offset B-tree index serving `WHERE msg_offset
+        > ?` pages, SQLiteQueries.java:77-99). Row order is semantically
+        inert — LWW resolution and the read views never depend on physical
+        order — so clustering is a pure stats-tightening transform."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.root, DATA_DIR, commit_id)
         # one shuffle keyed by bucket so each affected bucket lands in few files
@@ -370,11 +397,16 @@ class LakeTable:
         self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
         try:
             out_df = df if already_bucketed else df.repartition(n_out, F.col(BUCKET_COL))
-            (
-                out_df.write.partitionBy(BUCKET_COL)
-                .mode("append")
-                .parquet(out_dir)
-            )
+            if cluster_col and cluster_col in out_df.columns:
+                # hash(bucket) keying puts ALL of a bucket's rows in one task,
+                # so a task-local sort yields globally contiguous per-bucket
+                # runs; maxRecordsPerFile then splits a run into sequential —
+                # hence range-disjoint — files.
+                out_df = out_df.sortWithinPartitions(BUCKET_COL, cluster_col)
+            writer = out_df.write.partitionBy(BUCKET_COL).mode("append")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+            writer.parquet(out_dir)
         finally:
             if prev_ts_type is None:
                 self.spark.conf.unset(ts_conf)

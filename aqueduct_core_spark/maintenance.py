@@ -20,7 +20,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import functions as F
 
-from aqueduct_core_spark.lake.table import BUCKET_COL, CommitConflict, LakeTable, Snapshot
+from aqueduct_core_spark.lake.table import (
+    BUCKET_COL,
+    CommitConflict,
+    LakeTable,
+    Snapshot,
+    cluster_opts,
+)
 
 
 @dataclass
@@ -58,7 +64,11 @@ def compact_table(
         kept = df.filter(
             ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
         )
-        new_files = table.write_files(kept, snap, kind="base", already_bucketed=True)
+        cc, tfr = cluster_opts(snap)
+        new_files = table.write_files(
+            kept, snap, kind="base", already_bucketed=True,
+            cluster_col=cc, max_records_per_file=tfr,
+        )
         nxt = Snapshot(
             version=snap.version + 1,
             current_schema_id=snap.current_schema_id,
@@ -125,7 +135,11 @@ def compact_bucket_range(
     kept = df.filter(
         ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
     )
-    new_files = table.write_files(kept, snap0, kind="base", already_bucketed=True)
+    cc, tfr = cluster_opts(snap0)
+    new_files = table.write_files(
+        kept, snap0, kind="base", already_bucketed=True,
+        cluster_col=cc, max_records_per_file=tfr,
+    )
     ours = {f["path"] for f in new_files}
     while True:
         cur = table.current()
@@ -308,7 +322,13 @@ def rewrite_small_files(table: LakeTable, target_files_per_bucket: int = 1) -> i
         # resolve while rewriting (a MOR table's delta files fold into base
         # here) — bucketed_output keeps the whole rewrite on one exchange
         df = read_resolved(table, with_bucket_col=True, bucketed_output=True)
-        new_files = table.write_files(df, snap, kind="base", already_bucketed=True)
+        # cluster for stats-tightness, but NEVER split: this op's contract is
+        # the bin-pack target (target_file_rows would fight the <= check and
+        # re-trigger the loop forever)
+        new_files = table.write_files(
+            df, snap, kind="base", already_bucketed=True,
+            cluster_col=cluster_opts(snap)[0],
+        )
         nxt = Snapshot(
             version=snap.version + 1,
             current_schema_id=snap.current_schema_id,

@@ -138,6 +138,58 @@ def main():
     files_full = len(set(full.inputFiles()))
 
     assert rows_window == rows_full, (rows_window, rows_full)
+
+    # --- scenario 2: a TIME window INSIDE history on a time-clustered table.
+    # Without clustering, compaction folds each bucket into one file spanning
+    # the whole history — a mid-history ts window can never skip. With
+    # compaction.target_file_rows set, the fold sorts each bucket by ts and
+    # chops at the cap, so the window opens only the files whose disjoint ts
+    # ranges intersect it.
+    rows_per_bucket = n_events // 64
+    t2 = LakeTable.create(
+        spark,
+        f"{d}/tbl_clustered",
+        TRANSCRIPT_PHYSICAL_SCHEMA,
+        bucket_key="conv_id",
+        n_buckets=64,
+        properties={
+            "merge_mode": "mor",
+            # ~16 files per bucket -> a 1/16 window should open ~1-2 per bucket
+            "compaction.target_file_rows": str(max(1, rows_per_bucket // 16)),
+        },
+    )
+    feed.persist()
+    for b in range(n_batches):
+        merge_change_batch(
+            t2,
+            feed.filter(
+                (F.col("change_lsn") > b * step) & (F.col("change_lsn") <= (b + 1) * step)
+            ),
+            batch_id=b,
+        )
+    compact_bucket_range(t2, tombstone_retention_ts="1970-01-01 00:00:00", buckets=list(range(64)))
+    feed.unpersist()
+    snap2 = t2.current()
+    ts_lo = min(f["stats"]["ts"][0] for f in snap2.files if f.get("stats", {}).get("ts"))
+    ts_hi = max(f["stats"]["ts"][1] for f in snap2.files if f.get("stats", {}).get("ts"))
+    import datetime as _dt
+
+    span = ts_hi - ts_lo
+    w2_lo = _dt.datetime.fromtimestamp((ts_lo + span * 7 // 16) / 1e6, tz=_dt.timezone.utc)
+    w2_hi = _dt.datetime.fromtimestamp((ts_lo + span * 8 // 16) / 1e6, tz=_dt.timezone.utc)
+    win2 = read_resolved(t2, ranges={"ts": (w2_lo, w2_hi)})
+    full2 = read_resolved(t2).filter((F.col("ts") >= w2_lo) & (F.col("ts") <= w2_hi))
+    win2.count(), full2.count()  # warm-up
+    w2_times, f2_times = [], []
+    for _ in range(4):
+        rows_w2, dt2 = timed(win2)
+        w2_times.append(dt2)
+        rows_f2, dt2 = timed(full2)
+        f2_times.append(dt2)
+    assert rows_w2 == rows_f2, (rows_w2, rows_f2)
+    files_w2 = len(set(win2.inputFiles()))
+    files_f2 = len(set(full2.inputFiles()))
+
     print(
         json.dumps(
             {
@@ -151,6 +203,19 @@ def main():
                 "windowed_read": {"files_opened": files_window, "sec": sec_window},
                 "unpruned_read": {"files_opened": files_full, "sec": sec_full},
                 "files_ratio": round(files_window / max(files_full, 1), 3),
+                "ts_window_on_clustered_compaction": {
+                    "files_total": len(snap2.files),
+                    "window_rows": rows_w2,
+                    "windowed_read": {
+                        "files_opened": files_w2,
+                        "sec": round(min(w2_times), 3),
+                    },
+                    "unpruned_read": {
+                        "files_opened": files_f2,
+                        "sec": round(min(f2_times), 3),
+                    },
+                    "files_ratio": round(files_w2 / max(files_f2, 1), 3),
+                },
             }
         )
     )
