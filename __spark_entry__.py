@@ -772,6 +772,52 @@ def q_multimodal_decode_png_adam7(spark, sf_dir):
     return decode_real_summary(media)
 
 
+def q_multimodal_decode_gif(spark, sf_dir):
+    """REAL animated-GIF decode, zero external libs (the entropy coder is
+    hand-rolled variable-width LZW, like JPEG's Huffman): documents -> GIF89a
+    streams of 3 full-canvas frames (4 identical rows of the text bytes each,
+    identity grayscale palette; odd frames row-interlaced, so both row orders
+    ride one payload; long docs push LZW through 9->12-bit width growth and
+    the 4096-entry reset) -> the pure-python decoder (header/LSD/color-table
+    parse, sub-block walk, GCE handling, LZW decode, 4-pass de-interlace,
+    canvas compositing) -> per-file summary whose content_md5 covers EVERY
+    frame's composited canvas. Oracle recomputes from the source table
+    (md5(repeat(text, 12))) — the full animation round-trips hash-exact.
+    Reference analog: binary payloads flow opaque (PipeCodec, msg_data)."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        gif_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = gif_media_from_documents(docs, limit=MEDIA_LIMIT, height=4, n_frames=3)
+    return decode_real_summary(media)
+
+
+def q_multimodal_gif_frame_sample(spark, sf_dir):
+    """REAL video frame sampling: the animated-GIF media table fans out to
+    every 2nd DECODED frame (LZW + de-interlace + compositing, not a byte
+    slice) — 1 media row -> k frame rows, the training-pipeline shape for
+    keyframe extraction. Each sampled frame's full-canvas bytes are md5'd;
+    the oracle regenerates the (doc x frame_idx) lattice with a lateral
+    unnest and recomputes the digest from the source text, so the sampled
+    frames are hash-gated bit-for-bit."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        gif_frame_sample,
+        gif_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = gif_media_from_documents(docs, limit=MEDIA_LIMIT, height=4, n_frames=3)
+    return gif_frame_sample(media, every_n=2).select(
+        "media_id",
+        "frame_idx",
+        F.md5(F.col("frame_bytes")).alias("frame_md5"),
+    )
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -823,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_jpeg_progressive": q_multimodal_decode_jpeg_progressive,
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_png_adam7": q_multimodal_decode_png_adam7,
+        "multimodal_decode_gif": q_multimodal_decode_gif,
+        "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
     }
 
 
@@ -1284,5 +1332,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS INTEGER) AS duration_ms,
                    md5(repeat(text, 5)) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # 3 frames x 4 rows, every frame's composited canvas == the text bytes
+        "multimodal_decode_gif": f"""
+            SELECT doc_id AS media_id,
+                   'video' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(3 AS INTEGER) AS rate,
+                   CAST(4 AS INTEGER) AS duration_ms,
+                   md5(repeat(text, 12)) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # every-2nd of 3 frames -> the (doc x {{0,2}}) lattice; each sampled
+        # frame is 4 rows of the text bytes
+        "multimodal_gif_frame_sample": f"""
+            SELECT d.doc_id AS media_id,
+                   CAST(g.f AS INTEGER) AS frame_idx,
+                   md5(repeat(d.text, 4)) AS frame_md5
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 2]) AS f) g
+            WHERE d.doc_id < {MEDIA_LIMIT}
         """,
     }

@@ -147,9 +147,9 @@ def test_multimodal_plumbing(spark):
     vids = {r["media_id"] for r in fr}
     assert vids == {r["media_id"] for r in media.filter("kind = 'video'").collect()}
 
-    # video needs real codec libs -> still the documented stub boundary;
-    # image now has a built-in real parser, which rejects unknown containers
-    with pytest.raises(NotImplementedError):
+    # video now has a built-in real parser too (animated GIF) — like image,
+    # it rejects unknown containers; the registry seam remains for MP4/ffmpeg
+    with pytest.raises(ValueError):
         decode_media(b"xx", "video", use_real=True)
     with pytest.raises(ValueError):
         decode_media(b"xx", "image", use_real=True)
@@ -314,7 +314,8 @@ def test_real_decoder_dispatch_injection(spark):
         import pytest as _pytest
 
         with _pytest.raises(NotImplementedError):
-            decode_media(b"xyz", "video", use_real=True, dim=2)
+            # a kind with no built-in parser (video gained one: animated GIF)
+            decode_media(b"xyz", "mp4", use_real=True, dim=2)
     finally:
         from aqueduct_core_spark.functions import multimodal as _mm
 
@@ -431,7 +432,7 @@ def test_extract_features_use_real_builtin(spark):
     # image head: [width, height, meanR, meanG, meanB]
     assert feats[1][:5] == [2.0, 1.0, 150.0, 150.0, 150.0]
 
-    bad = spark.createDataFrame([(2, "video", bytearray(b"xx"), {})], MEDIA_SCHEMA)
+    bad = spark.createDataFrame([(2, "mp4", bytearray(b"xx"), {})], MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|no registered decoder"):
         extract_features(bad, dim=4, use_real=True).collect()
 
@@ -1138,3 +1139,140 @@ def test_png_decode_summary_matches_source(spark):
     feats = {r["media_id"]: r for r in extract_features(media, dim=8, use_real=True).collect()}
     assert feats[2]["features"][0] == 300  # width = byte count
     assert abs(feats[2]["features"][2] - ord("x")) < 1e-6  # mean R = the byte
+
+
+def test_gif_codec_roundtrip_exact():
+    """Pure-stdlib GIF: sequential and interlaced frames, LZW width growth
+    (long high-entropy input pushes 9->12 bits) and the 4096-entry table
+    reset all round-trip bit-exactly through encode -> decode."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import decode_gif, gif_bytes
+
+    rng = np.random.default_rng(17)
+    cases = [
+        b"hello gif",
+        bytes(range(256)),
+        rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),  # forces 12-bit + reset
+        b"a",  # single pixel per row
+        b"ab" * 600,  # long repetitive run (deep LZW chains)
+    ]
+    for gray in cases:
+        for interlace_alt, n_frames in [(False, 1), (True, 2), (True, 3)]:
+            payload = gif_bytes(gray, height=4, n_frames=n_frames, interlace_alt=interlace_alt)
+            d = decode_gif(payload)
+            assert (d["width"], d["height"], d["n_frames"]) == (len(gray), 4, n_frames)
+            want = np.tile(np.frombuffer(gray, np.uint8), (4, 1))
+            for k in range(n_frames):
+                assert np.array_equal(d["frames"][k], want), (len(gray), n_frames, k)
+
+
+def test_gif_interlace_is_pure_reordering():
+    """An interlaced frame must decode to exactly the sequential frame's
+    pixels even though the wire bytes differ (4-pass row shuffle)."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import decode_gif, gif_bytes
+
+    gray = bytes(range(64)) * 3
+    seq = decode_gif(gif_bytes(gray, height=11, n_frames=1))["frames"][0]
+    # interlace_alt interlaces ODD frames: frame 1 of a 2-frame stream
+    lace = decode_gif(gif_bytes(gray, height=11, n_frames=2, interlace_alt=True))
+    assert np.array_equal(lace["frames"][1], seq)
+    assert lace["n_frames"] == 2
+
+
+def test_gif_compositing_transparency_and_disposal():
+    """Hand-built GIF exercising what the builder does not: a partial-canvas
+    second frame at an offset, a transparent index that must preserve the
+    underlying canvas, and disposal 2 (restore background) before frame 3."""
+    import struct
+
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _gif_lzw_encode,
+        _gif_subblocks,
+        decode_gif,
+    )
+
+    def frame(left, top, w, h, pixels, disposal, transparent=None):
+        flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        gce = b"\x21\xf9" + _gif_subblocks(
+            struct.pack("<BHB", flags, 0, transparent or 0)
+        )
+        desc = b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        return gce + desc + bytes([8]) + _gif_subblocks(_gif_lzw_encode(bytes(pixels), 8))
+
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 2, 0xF7, 9, 0)
+    head += b"".join(bytes((i, i, i)) for i in range(256))
+    payload = (
+        head
+        + frame(0, 0, 4, 2, [1, 2, 3, 4, 5, 6, 7, 8], disposal=1)
+        # 1x1 at (2,1): index 0 is transparent -> canvas pixel 7 must survive;
+        # disposal 2 then restores background (9) in that rect
+        + frame(2, 1, 1, 1, [0], disposal=2, transparent=0)
+        + frame(0, 0, 1, 1, [50], disposal=0)
+        + b"\x3b"
+    )
+    d = decode_gif(payload)
+    assert d["n_frames"] == 3
+    assert np.array_equal(d["frames"][0], [[1, 2, 3, 4], [5, 6, 7, 8]])
+    assert np.array_equal(d["frames"][1], [[1, 2, 3, 4], [5, 6, 7, 8]])  # transparent
+    # frame 3: disposal-2 put bg (9) at (1,2), then drew 50 at (0,0)
+    assert np.array_equal(d["frames"][2], [[50, 2, 3, 4], [5, 6, 9, 8]])
+
+
+def test_gif_rejects_malformed():
+    import pytest
+
+    from aqueduct_core_spark.functions.multimodal import decode_gif, gif_bytes
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    good = bytearray(gif_bytes(b"abcd", height=2))
+    bad = bytes(good[:40])  # truncated mid color table / LZW
+    with pytest.raises((ValueError, IndexError, __import__("struct").error)):
+        decode_gif(bad)
+
+
+def test_gif_decode_summary_and_frame_sample(spark):
+    """The multimodal_decode_gif oracle contract locally: every frame's
+    composited canvas md5-round-trips the text (md5(text*(h*n_frames))),
+    GIF payloads feed the real video-feature extractor, and gif_frame_sample
+    fans one animation out to its every-n-th decoded frames."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        extract_features,
+        gif_frame_sample,
+        gif_media_from_documents,
+    )
+
+    rows = [(0, "hello gif"), (1, "caffé"), (2, "y" * 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = gif_media_from_documents(docs, height=4, n_frames=3)
+    out = {r["media_id"]: r for r in decode_real_summary(media).collect()}
+    for did, text in rows:
+        b = text.encode("utf-8")
+        r = out[did]
+        assert r["kind"] == "video"
+        assert r["n_units"] == len(b) and r["rate"] == 3 and r["duration_ms"] == 4
+        assert r["content_md5"] == hashlib.md5(b * 12).hexdigest()
+
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8, use_real=True).collect()}
+    assert feats[2]["features"][:3] == [300.0, 4.0, 3.0]  # w, h, n_frames
+    assert abs(feats[2]["features"][3] - ord("y")) < 1e-6
+
+    frames = gif_frame_sample(media, every_n=2).withColumn(
+        "frame_md5", F.md5(F.col("frame_bytes"))
+    )
+    got = {(r["media_id"], r["frame_idx"]): r["frame_md5"] for r in frames.collect()}
+    assert set(got) == {(d, f) for d, _ in rows for f in (0, 2)}
+    for did, text in rows:
+        b = text.encode("utf-8")
+        for f in (0, 2):
+            assert got[(did, f)] == hashlib.md5(b * 4).hexdigest()
