@@ -67,6 +67,7 @@ def cmd_ingest(args) -> int:
         transform=transform,
         compaction_policy=policy,
         quarantine_dir=args.quarantine_dir,
+        table_properties=dict(p.split("=", 1) for p in (args.table_prop or [])),
     )
     if args.bootstrap:
         eng.bootstrap(args.bootstrap, delay_ms=args.bootstrap_delay_ms)
@@ -229,6 +230,15 @@ def main(argv=None) -> int:
             "PIPE_WITH_DELAY", "PIPE_AND_PROVIDER_WITH_DELAY", "CORRUPTION_RECOVERY",
         ],
         help="run a bootstrap transition before ingesting",
+    )
+    pi.add_argument(
+        "--table-prop",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra table property at CREATE time (repeatable), e.g. "
+        "compaction.target_file_rows=4000000 to time-cluster compacted "
+        "files so ts-windowed reads prune (lake.table.cluster_opts)",
     )
     pi.add_argument("--bootstrap-delay-ms", type=int, default=0)
     pi.add_argument(

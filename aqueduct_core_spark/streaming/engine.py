@@ -85,12 +85,17 @@ class IngestEngine:
         # quarantine append and the checkpoint re-appends on replay) — the
         # DLQ contract; dedup downstream by (change_lsn, _reason) if needed.
         # None = feed is trusted, zero extra scans (the bench/replay path).
+        table_properties: dict | None = None,  # extra snapshot properties at
+        # CREATE time (ignored for an existing table), e.g.
+        # compaction.target_file_rows to time-cluster base rewrites so
+        # windowed reads prune files (see lake.table.cluster_opts).
     ):
         self.spark = spark
         self.table_root = table_root
         self.checkpoint_dir = checkpoint_dir
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
+        self.table_properties = dict(table_properties or {})
         self.salt = salt
         if writer_id is None:
             import hashlib
@@ -173,7 +178,7 @@ class IngestEngine:
             TRANSCRIPT_PHYSICAL_SCHEMA,
             bucket_key="conv_id",
             n_buckets=self.n_buckets,
-            properties={"merge_mode": self.merge_mode},
+            properties={"merge_mode": self.merge_mode, **self.table_properties},
         )
 
     # ------------------------------------------------------------ bootstrap
@@ -641,6 +646,7 @@ class IngestEngine:
                 entity_filter=self.entity_filter,
                 min_lsn=self.high_watermark() if LakeTable.exists(self.table_root) else None,
                 transform=self.transform,
+                table_properties=self.table_properties,
             )
         return self._mirror_engines[url]
 

@@ -96,6 +96,7 @@ def test_ingest_cli_quarantine_and_auto_compact(spark, tmp_path, capsys):
         "--checkpoint", str(tmp_path / "ck"), "--buckets", "4",
         "--max-files-per-trigger", "2", "--quarantine-dir", dlq,
         "--auto-compact-max-delta-files", "2",
+        "--table-prop", "compaction.target_file_rows=8",
     ]) == 0
     out = last_json(capsys)
     assert out["events_quarantined"] == 1
@@ -107,6 +108,11 @@ def test_ingest_cli_quarantine_and_auto_compact(spark, tmp_path, capsys):
     t = LakeTable(spark, str(tmp_path / "t"))
     assert all(
         n <= 2 for n, _ in delta_pressure(t.current()).values()
+    )
+    # --table-prop landed in the manifest and bounded the compacted files
+    assert t.current().properties["compaction.target_file_rows"] == "8"
+    assert all(
+        f["rows"] <= 8 for f in t.current().files if f["kind"] == "base"
     )
     expected = [(r["conv_id"], r["turn_idx"], r["text"]) for r in replay(clean)]
     got = [(r["conv_id"], r["turn_idx"], r["text"])
