@@ -818,6 +818,26 @@ def q_multimodal_gif_frame_sample(spark, sf_dir):
     )
 
 
+def q_multimodal_decode_g711(spark, sf_dir):
+    """REAL G.711 telephony-audio decode (ITU G.711 A-law; mu-law also
+    implemented): documents -> format-tag-6 RIFF/WAVE streams whose code
+    bytes ARE the text -> the table-driven expander (segment layout computed
+    from the spec, pinned against CCITT reference points in pytest) ->
+    linear int16 samples -> the compressor must find its way back to the
+    exact source codes. A-law is injective over all 256 codes, so
+    content_md5 == md5(text) gates BOTH companding directions bit-for-bit.
+    Oracle recomputes every column from the source table."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        g711_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = g711_media_from_documents(docs, limit=MEDIA_LIMIT)
+    return decode_real_summary(media)
+
+
 # =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
@@ -871,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png_adam7": q_multimodal_decode_png_adam7,
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
+        "multimodal_decode_g711": q_multimodal_decode_g711,
     }
 
 
@@ -1341,6 +1362,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INTEGER) AS rate,
                    CAST(4 AS INTEGER) AS duration_ms,
                    md5(repeat(text, 12)) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # G.711 A-law at 8 kHz: the code bytes ARE the text; the summary
+        # re-compresses the decoded int16 samples, so md5(text) gates both
+        # companding directions
+        "multimodal_decode_g711": f"""
+            SELECT doc_id AS media_id,
+                   'audio' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(8000 AS INTEGER) AS rate,
+                   CAST(octet_length(encode(text)) * 1000 // 8000 AS INTEGER)
+                       AS duration_ms,
+                   md5(text) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,
         # every-2nd of 3 frames -> the (doc x {{0,2}}) lattice; each sampled

@@ -87,6 +87,68 @@ def wav_bytes(pcm, sample_rate: int = 16000, channels: int = 1, bits: int = 8) -
     )
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """Expansion tables computed from the G.711 segment layout (no hardcoded
+    blobs): code -> linear int16 for mu-law (mu=255, bias 0x84, 8 segments)
+    and A-law (A=87.6, even-bit inversion 0x55, 13-bit magnitude)."""
+    codes = np.arange(256, dtype=np.int32)
+    # --- mu-law: invert, split sign/segment/mantissa, undo the 0x84 bias
+    u = ~codes & 0xFF
+    sign = u & 0x80
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << seg) - 0x84
+    ulaw = np.where(sign != 0, -mag, mag).astype(np.int16)
+    # --- A-law: even bits inverted on the wire; segment 0 is linear; the
+    # sign convention is OPPOSITE to mu-law's (CCITT reference alaw2linear:
+    # sign bit SET means positive)
+    a = codes ^ 0x55
+    sign = a & 0x80
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1))
+    alaw = np.where(sign != 0, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_EXPAND, _ALAW_EXPAND = _g711_tables()
+
+
+def g711_expand(codes: bytes, law: str) -> np.ndarray:
+    """G.711 decompressor: 8-bit companded codes -> linear int16 samples."""
+    table = _ULAW_EXPAND if law == "ulaw" else _ALAW_EXPAND
+    return table[np.frombuffer(bytes(codes), dtype=np.uint8)]
+
+
+def g711_compress(pcm: np.ndarray, law: str) -> bytes:
+    """G.711 compressor (segment search over the expansion table's decision
+    boundaries). Exact inverse of g711_expand on its own output: the
+    code -> linear -> code round-trip is the identity for all 256 A-law
+    codes (the A-law table is injective, min magnitude 8), and for all
+    mu-law codes except the +0/-0 pair (0x7F and 0xFF both expand to 0 —
+    inherent to mu-law, so the oracle entry rides A-law)."""
+    table = _ULAW_EXPAND if law == "ulaw" else _ALAW_EXPAND
+    # nearest-code by decision boundaries: codes sorted by linear value,
+    # each sample mapped to the code whose quantization cell contains it
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int32)
+    cuts = (levels[:-1] + levels[1:]) // 2
+    idx = np.searchsorted(cuts, pcm.astype(np.int32), side="right")
+    return order[idx].astype(np.uint8).tobytes()
+
+
+def wav_g711_bytes(codes: bytes, law: str = "ulaw", sample_rate: int = 8000) -> bytes:
+    """Spec-valid RIFF/WAVE G.711 writer: format tag 7 (mu-law) or 6 (A-law),
+    one byte per sample — the telephony container shape."""
+    fmt_tag = 7 if law == "ulaw" else 6
+    data = bytes(codes)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + fmt + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def decode_wav(payload: bytes) -> dict:
     """RIFF/WAVE PCM parser: walks the chunk list (no fixed 44-byte layout
     assumption; skips LIST/fact/etc., honors word alignment). Returns header
@@ -107,15 +169,23 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise ValueError(f"only 8/16-bit PCM supported (format={audio_format}, bits={bits})")
-    samples = np.frombuffer(data, dtype=np.uint8 if bits == 8 else np.dtype("<i2"))
+    if audio_format in (6, 7):  # G.711 A-law / mu-law (one code byte/sample)
+        codec = "alaw" if audio_format == 6 else "ulaw"
+        samples = g711_expand(data, codec)  # decoded linear int16
+    elif audio_format == 1 and bits in (8, 16):
+        codec = "pcm"
+        samples = np.frombuffer(data, dtype=np.uint8 if bits == 8 else np.dtype("<i2"))
+    else:
+        raise ValueError(
+            f"only 8/16-bit PCM and G.711 supported (format={audio_format}, bits={bits})"
+        )
     if channels > 1:
         samples = samples[: samples.size // channels * channels].reshape(-1, channels)
     return {
         "sample_rate": sample_rate,
         "channels": channels,
         "bits": bits,
+        "codec": codec,
         "n_samples": int(samples.shape[0]),
         "samples": samples,
     }
@@ -2241,6 +2311,37 @@ def gif_media_from_documents(
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
+def g711_media_from_documents(
+    docs: DataFrame, limit: int | None = None, law: str = "alaw"
+) -> DataFrame:
+    """Media table of REAL G.711 telephony WAVs built from the documents
+    table: each doc's UTF-8 text bytes ARE the companded code stream (format
+    tag 6, 8 kHz mono — the PSTN container shape). The decode summary
+    expands codes to linear int16 and re-compresses; A-law is injective over
+    all 256 codes, so the digest equals md5(text) only if BOTH G.711
+    directions are exact (mu-law is also implemented but its +0/-0 pair
+    collapses by design, so the oracle rides A-law)."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        wav_g711_bytes((t or "").encode("utf-8"), law=law)
+                        for t in pdf["text"]
+                    ],
+                    "meta": [{"container": "wav", "codec": law}] * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
 def decode_real_summary(media: DataFrame) -> DataFrame:
     """REAL-decode summary — the oracle-gated proof that `use_real` decoding
     round-trips: each payload is container-sniffed by magic (RIFF -> WAV,
@@ -2257,7 +2358,13 @@ def decode_real_summary(media: DataFrame) -> DataFrame:
                 payload = bytes(payload or b"")
                 if payload[:4] == b"RIFF":
                     wav = decode_wav(payload)
-                    content = wav["samples"].tobytes()
+                    if wav.get("codec") in ("ulaw", "alaw"):
+                        # companded stream: the digest gates BOTH directions —
+                        # expand to linear int16, then the compressor must
+                        # find its way back to the exact source codes
+                        content = g711_compress(wav["samples"], wav["codec"])
+                    else:
+                        content = wav["samples"].tobytes()
                     rows["n_units"].append(wav["n_samples"])
                     rows["rate"].append(int(wav["sample_rate"]))
                     rows["duration_ms"].append(

@@ -1276,3 +1276,87 @@ def test_gif_decode_summary_and_frame_sample(spark):
         b = text.encode("utf-8")
         for f in (0, 2):
             assert got[(did, f)] == hashlib.md5(b * 4).hexdigest()
+
+
+def test_g711_tables_match_ccitt_reference():
+    """Expansion tables vs known CCITT reference points and structure:
+    mu-law 0xFF/0x7F are the +-0 pair, A-law min magnitude is +-8, both
+    tables are sign-antisymmetric under the wire sign bit, and A-law is
+    injective (256 distinct linear values) while mu-law collides only at 0."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import _ALAW_EXPAND, _ULAW_EXPAND
+
+    # mu-law reference points (CCITT ulaw2linear): 0xFF -> 0, 0x7F -> 0,
+    # 0x80 -> -32124 (max negative), 0x00 -> +32124... sign convention:
+    # inverted code's bit7 SET means negative, so raw 0x00 (inv 0xFF) is neg
+    assert _ULAW_EXPAND[0xFF] == 0 and _ULAW_EXPAND[0x7F] == 0
+    assert _ULAW_EXPAND[0x00] == -32124 and _ULAW_EXPAND[0x80] == 32124
+    # A-law reference points (CCITT alaw2linear, sign bit SET = positive):
+    # 0xD5 (wire) -> +8, 0x55 -> -8, 0xAA -> +32256? no: 0x2A^0x55=0x7F ->
+    # seg 7 mant 15 -> max magnitude 0xF80<<6 = 32256, sign clear -> negative
+    assert _ALAW_EXPAND[0xD5] == 8 and _ALAW_EXPAND[0x55] == -8
+    assert _ALAW_EXPAND[0xAA] == 32256 and _ALAW_EXPAND[0x2A] == -32256
+    assert len(set(_ALAW_EXPAND.tolist())) == 256
+    assert len(set(_ULAW_EXPAND.tolist())) == 255  # only the 0 pair collides
+    # antisymmetry: flipping the wire sign bit negates the value
+    codes = np.arange(128)
+    assert np.array_equal(_ULAW_EXPAND[codes], -_ULAW_EXPAND[codes | 0x80])
+    assert np.array_equal(_ALAW_EXPAND[codes ^ 0x55 ^ 0x80 ^ 0x55], -_ALAW_EXPAND[codes])
+
+
+def test_g711_roundtrip_and_quantization():
+    """code -> linear -> code is the identity for all 256 A-law codes (and
+    all mu-law codes modulo the +-0 collapse); arbitrary PCM quantizes to
+    the nearest code's cell (|err| bounded by half the local step)."""
+    import numpy as np
+
+    from aqueduct_core_spark.functions.multimodal import (
+        _ULAW_EXPAND,
+        g711_compress,
+        g711_expand,
+    )
+
+    all_codes = bytes(range(256))
+    assert g711_compress(g711_expand(all_codes, "alaw"), "alaw") == all_codes
+    ul = g711_compress(g711_expand(all_codes, "ulaw"), "ulaw")
+    diff = [i for i in range(256) if ul[i] != i]
+    assert all(_ULAW_EXPAND[i] == 0 for i in diff)  # only the zero pair moves
+    # random PCM: expand(compress(x)) stays within the local quantizer cell
+    rng = np.random.default_rng(23)
+    pcm = rng.integers(-32000, 32001, 4096).astype(np.int16)
+    for law in ("alaw", "ulaw"):
+        deq = g711_expand(g711_compress(pcm, law), law)
+        # A-law max step 1024 -> err <= 512; mu max step 1008+, allow spec cap
+        assert np.abs(deq.astype(int) - pcm.astype(int)).max() <= 600
+
+
+def test_g711_wav_decode_summary_matches_source(spark):
+    """The multimodal_decode_g711 oracle contract locally: A-law WAVs built
+    from text md5-round-trip through expand + re-compress, and G.711 payloads
+    feed the real audio-feature extractor (decoded linear samples)."""
+    import hashlib
+
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        decode_wav,
+        extract_features,
+        g711_media_from_documents,
+        wav_g711_bytes,
+    )
+
+    rows = [(0, "hello g711"), (1, "caffé"), (2, "z" * 300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = g711_media_from_documents(docs)
+    out = {r["media_id"]: r for r in decode_real_summary(media).collect()}
+    for did, text in rows:
+        b = text.encode("utf-8")
+        r = out[did]
+        assert r["kind"] == "audio"
+        assert r["n_units"] == len(b) and r["rate"] == 8000
+        assert r["content_md5"] == hashlib.md5(b).hexdigest()
+
+    wav = decode_wav(wav_g711_bytes(b"\x00\xff\x55\xd5", law="alaw"))
+    assert wav["codec"] == "alaw" and wav["samples"].dtype.name == "int16"
+    feats = {r["media_id"]: r for r in extract_features(media, dim=6, use_real=True).collect()}
+    assert feats[2]["features"][:4] == [8000.0, 1.0, 8.0, 300.0]
