@@ -184,22 +184,42 @@ def run_replay(spark, n_events: int, work_dir: str, cpus: int) -> dict:
 
     mode = os.environ.get("AQ_BENCH_MODE", "mor")
     salt = int(os.environ.get("AQ_BENCH_SALT", "0"))
-    eng = IngestEngine(
-        spark,
-        table_root=os.path.join(work_dir, "tbl"),
-        checkpoint_dir=os.path.join(work_dir, "ckpt"),
-        n_buckets=n_buckets,
-        merge_mode=mode,
-        salt=salt,
-    )
-    t0 = time.perf_counter()
-    eng.run(log_dir, max_files_per_trigger=mfpt)
-    elapsed = time.perf_counter() - t0
+    # Best-of-N (default 2): this box's co-tenant throttle oscillates on a
+    # seconds scale (BENCH.md), so a single pass can under-report the code by
+    # 3-4x. Each attempt ingests into a FRESH table+checkpoint (the
+    # exactly-once watermark would skip re-applied batches otherwise); every
+    # attempt's rate is recorded so a collapsed one is visible in-artifact.
+    repeats = max(1, int(os.environ.get("AQ_BENCH_REPLAY_REPEATS", "2")))
+    attempts: list[dict] = []
+    best = None
+    for i in range(repeats):
+        run_dir = os.path.join(work_dir, f"run{i}")
+        eng = IngestEngine(
+            spark,
+            table_root=os.path.join(run_dir, "tbl"),
+            checkpoint_dir=os.path.join(run_dir, "ckpt"),
+            n_buckets=n_buckets,
+            merge_mode=mode,
+            salt=salt,
+        )
+        t0 = time.perf_counter()
+        eng.run(log_dir, max_files_per_trigger=mfpt)
+        elapsed = time.perf_counter() - t0
+        attempts.append(
+            {"sec": round(elapsed, 3), "batches": eng.metrics.batches_applied}
+        )
+        if best is None or elapsed < best[0]:
+            best = (elapsed, eng.metrics.batches_applied)
+        shutil.rmtree(run_dir, ignore_errors=True)  # tmpfs: reclaim per attempt
+    elapsed, batches = best
     return {
         "events": n_events,
         "sec": round(elapsed, 3),
         "events_per_sec": round(n_events / elapsed, 1),
-        "batches": eng.metrics.batches_applied,
+        "attempts_events_per_sec": [
+            round(n_events / a["sec"], 1) for a in attempts
+        ],
+        "batches": batches,
         "segments": n_segments,
         "buckets": n_buckets,
         "mode": mode,
