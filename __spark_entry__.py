@@ -839,6 +839,51 @@ def q_multimodal_decode_g711(spark, sf_dir):
 
 
 # =============================================================================
+def q_multimodal_decode_mp4(spark, sf_dir):
+    """REAL MP4/ISO-BMFF container decode, zero external libs: documents ->
+    valid MP4 files (ftyp + mdat + full moov sample tables) whose 3 frame
+    payloads each ARE the text bytes, chunked 2 samples per chunk -> the
+    pure-stdlib box walker (32/64-bit box sizes, v0/v1 headers,
+    stts/stsc/stsz/stco sample mapping per ISO 14496-12 §8.7.4) -> per-file
+    summary whose content_md5 covers EVERY sample's bytes sliced from its
+    absolute file offset. The video CODEC stays at the register_decoder seam;
+    the container index — the part a pipeline owns — round-trips hash-exact.
+    Oracle recomputes md5(repeat(text, 3)) from the source table. Reference
+    analog: binary payloads flow opaque (PipeCodec, msg_data)."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        mp4_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = mp4_media_from_documents(docs, limit=MEDIA_LIMIT, n_frames=3)
+    return decode_real_summary(media)
+
+
+def q_multimodal_mp4_frame_sample(spark, sf_dir):
+    """REAL keyframe selection from the MP4 sample index: every 2nd sample's
+    exact bytes are sliced via the stsc/stco chunk walk (no codec needed to
+    SELECT frames — the container's own index drives the fan-out, 1 media
+    row -> k frame rows). The oracle regenerates the (doc x frame_idx)
+    lattice with a lateral unnest; each sampled frame is hash-gated
+    bit-for-bit against the source text."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        mp4_frame_sample,
+        mp4_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = mp4_media_from_documents(docs, limit=MEDIA_LIMIT, n_frames=3)
+    return mp4_frame_sample(media, every_n=2).select(
+        "media_id",
+        "frame_idx",
+        F.md5(F.col("frame_bytes")).alias("frame_md5"),
+    )
+
+
+# =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -892,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_gif": q_multimodal_decode_gif,
         "multimodal_gif_frame_sample": q_multimodal_gif_frame_sample,
         "multimodal_decode_g711": q_multimodal_decode_g711,
+        "multimodal_decode_mp4": q_multimodal_decode_mp4,
+        "multimodal_mp4_frame_sample": q_multimodal_mp4_frame_sample,
     }
 
 
@@ -1376,6 +1423,27 @@ def oracle_sql() -> dict[str, str]:
                        AS duration_ms,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # 3 MP4 samples, each = the text bytes; duration 3 x 40 ms at the
+        # 1 kHz timescale
+        "multimodal_decode_mp4": f"""
+            SELECT doc_id AS media_id,
+                   'video' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(3 AS INTEGER) AS rate,
+                   CAST(120 AS INTEGER) AS duration_ms,
+                   md5(repeat(text, 3)) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # every-2nd of 3 MP4 samples -> the (doc x {{0,2}}) lattice; each
+        # sampled frame's bytes ARE the text
+        "multimodal_mp4_frame_sample": f"""
+            SELECT d.doc_id AS media_id,
+                   CAST(g.f AS INTEGER) AS frame_idx,
+                   md5(d.text) AS frame_md5
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 2]) AS f) g
+            WHERE d.doc_id < {MEDIA_LIMIT}
         """,
         # every-2nd of 3 frames -> the (doc x {{0,2}}) lattice; each sampled
         # frame is 4 rows of the text bytes

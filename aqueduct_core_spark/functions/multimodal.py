@@ -5,14 +5,16 @@ feature-extract / resize / frame-sample run as Arrow-batched functions over
 `mapInPandas` so payload bytes never round-trip through per-row Python.
 
 Decode comes in three tiers:
-  * REAL, lib-free: WAV (RIFF chunk walk + PCM), PPM (P6), BMP (24-bpp),
-    PNG (zlib + all five predictors + Adam7) and the full DCT JPEG family
-    (baseline SOF0 incl. YCbCr subsampling and restart intervals;
-    progressive SOF2) are parsed in pure numpy/stdlib — `use_real=True` is
-    a genuinely exercised path for audio/image, oracle-gated end to end.
-  * REAL, pluggable: kinds needing codec libraries (video; mp3/mp4/...)
-    dispatch through `register_decoder` — Pillow/ffmpeg plug in on a cluster;
-    in this container an unregistered kind raises NotImplementedError.
+  * REAL, lib-free: WAV (RIFF chunk walk + PCM + G.711), PPM (P6), BMP
+    (24-bpp), PNG (zlib + all five predictors + Adam7), the full DCT JPEG
+    family (baseline SOF0 incl. YCbCr subsampling and restart intervals;
+    progressive SOF2), animated GIF (LZW), and the MP4/ISO-BMFF container
+    (box walk + sample tables + per-sample byte extraction — frame
+    SELECTION without a codec) are parsed in pure numpy/stdlib —
+    `use_real=True` is a genuinely exercised path, oracle-gated end to end.
+  * REAL, pluggable: compressed-video/audio BITSTREAMS inside containers
+    (H.26x, AAC, mp3) dispatch through `register_decoder` — Pillow/ffmpeg
+    plug in on a cluster; an unregistered kind raises NotImplementedError.
   * FAKE: the default deterministic stand-in derives features from the payload
     digest (stable across runs/cluster sizes) for plumbing tests and benches.
 """
@@ -1822,6 +1824,333 @@ def _decode_progressive(payload: bytes) -> dict:
     }
 
 
+# -------------------------------------------------------------- ISO BMFF
+# MP4 container parsing with zero external libraries: generic box walk
+# (32/64-bit sizes), sample tables (stts/stsc/stsz/stco|co64), absolute
+# per-sample byte extraction. The video CODEC stays at the register_decoder
+# seam (no ffmpeg in this container) — but the container plumbing, which is
+# the part a Spark training-data pipeline actually owns (which bytes are
+# frame k, how long is the clip, what codec tag to dispatch on), is real
+# and oracle-gated. Reference analog: binary payloads flow opaque end to
+# end (PipeCodec, msg_data).
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _mp4_full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mp4_box(tag, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+_MP4_FTYP = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp42")
+_MP4_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def _mp4_stsc_runs(chunk_sample_counts: list[int]) -> list[tuple[int, int]]:
+    """Run-length compress per-chunk sample counts into stsc entries
+    (first_chunk, samples_per_chunk) — the format's own compression; a
+    trailing short chunk yields a second run."""
+    runs: list[tuple[int, int]] = []
+    for i, c in enumerate(chunk_sample_counts, start=1):
+        if not runs or runs[-1][1] != c:
+            runs.append((i, c))
+    return runs
+
+
+def mp4_bytes(
+    frames: list[bytes],
+    width: int | None = None,
+    height: int = 1,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    fourcc: bytes = b"gry8",
+    samples_per_chunk: int = 2,
+    co64: bool = False,
+    largesize_mdat: bool = False,
+    version1: bool = False,
+) -> bytes:
+    """Minimal valid ISO BMFF (MP4) writer: ftyp + mdat (frame payloads) +
+    moov carrying a full video sample table. Frames are grouped
+    `samples_per_chunk` per chunk so a decoder's stsc/stco chunk walk is
+    genuinely exercised (a trailing short chunk produces a second stsc run).
+    `co64` writes 64-bit chunk offsets, `largesize_mdat` a size==1/u64 mdat
+    header, `version1` v1 mvhd/mdhd/tkhd (64-bit times) — the corner shapes
+    a real corpus contains."""
+    n = len(frames)
+    if width is None:
+        width = len(frames[0]) if frames else 0
+    duration = n * sample_delta
+
+    mdat_hdr = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + sum(map(len, frames)))
+        if largesize_mdat
+        else struct.pack(">I", 8 + sum(map(len, frames))) + b"mdat"
+    )
+    data_base = len(_MP4_FTYP) + len(mdat_hdr)
+
+    # chunking: offsets are absolute file positions of each chunk's first byte
+    counts: list[int] = []
+    left = n
+    while left > 0:
+        counts.append(min(samples_per_chunk, left))
+        left -= counts[-1]
+    offsets: list[int] = []
+    pos, k = data_base, 0
+    for c in counts:
+        offsets.append(pos)
+        pos += sum(len(frames[k + j]) for j in range(c))
+        k += c
+
+    if version1:
+        mvhd = _mp4_full(
+            b"mvhd", 1, 0,
+            struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+            + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tk_time = struct.pack(">QQI", 0, 0, 1) + b"\x00" * 4 + struct.pack(">Q", duration)
+        md_time = struct.pack(">QQIQ", 0, 0, timescale, duration)
+        tk_ver = md_ver = 1
+    else:
+        mvhd = _mp4_full(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+            + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tk_time = struct.pack(">III", 0, 0, 1) + b"\x00" * 4 + struct.pack(">I", duration)
+        md_time = struct.pack(">IIII", 0, 0, timescale, duration)
+        tk_ver = md_ver = 0
+    tkhd = _mp4_full(
+        b"tkhd", tk_ver, 7,
+        tk_time + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_MATRIX + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_full(b"mdhd", md_ver, 0, md_time + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mp4_full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"aq\x00")
+
+    sample_entry = _mp4_box(
+        fourcc,
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved, data_reference_index
+        + b"\x00" * 16                       # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)  # reserved, frame_count
+        + b"\x00" * 32                        # compressorname
+        + struct.pack(">Hh", 24, -1),         # depth, pre_defined
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta) if n else struct.pack(">I", 0))
+    runs = _mp4_stsc_runs(counts)
+    stsc = _mp4_full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, c, 1) for fc, c in runs),
+    )
+    sizes = [len(f) for f in frames]
+    if n and len(set(sizes)) == 1 and sizes[0] > 0:
+        # constant-size shortcut the spec provides: sample_size != 0, no
+        # table (sample_size == 0 is reserved to mean "per-sample table")
+        stsz = _mp4_full(b"stsz", 0, 0, struct.pack(">II", sizes[0], n))
+    else:
+        stsz = _mp4_full(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+    if co64:
+        stco = _mp4_full(
+            b"co64", 0, 0,
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">Q", o) for o in offsets),
+        )
+    else:
+        stco = _mp4_full(
+            b"stco", 0, 0,
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _mp4_box(b"dinf", _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")))
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return _MP4_FTYP + mdat_hdr + b"".join(frames) + moov
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, box_end) for each box in [start, end) —
+    handles size==1 (64-bit largesize) and size==0 (extends to end)."""
+    off = start
+    while off < end:
+        if end - off < 8:
+            raise ValueError("truncated MP4 box header")
+        size = struct.unpack_from(">I", buf, off)[0]
+        tag = buf[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if end - off < 16:
+                raise ValueError("truncated MP4 largesize header")
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            raise ValueError(f"MP4 box {tag!r} overruns its container")
+        yield tag, body, off + size
+        off += size
+
+
+def _mp4_child(buf: bytes, start: int, end: int, tag: bytes):
+    for t, b, e in _mp4_boxes(buf, start, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def decode_mp4(payload: bytes) -> dict:
+    """Parse an ISO BMFF (MP4) container in pure stdlib: box walk, first
+    video track's sample tables, and absolute per-sample byte extraction via
+    the stsc/stco chunk-mapping algorithm (ISO 14496-12 §8.7.4). Returns the
+    container facts a pipeline dispatches on plus every sample's exact bytes;
+    decoding those bytes is the registered codec's job. Fragmented files
+    (moof) are refused loudly rather than half-read."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF stream (no ftyp)")
+    moov = None
+    for tag, b, e in _mp4_boxes(payload, 0, len(payload)):
+        if tag == b"moof":
+            raise ValueError("fragmented MP4 (moof) not supported; flatten first")
+        if tag == b"moov":
+            moov = (b, e)
+    if moov is None:
+        raise ValueError("no moov box (streaming-unfinalized MP4?)")
+
+    # first track whose handler is video; else the first track at all
+    chosen = None
+    for tag, b, e in _mp4_boxes(payload, *moov):
+        if tag != b"trak":
+            continue
+        mdia = _mp4_child(payload, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(payload, *mdia, b"hdlr")
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12].decode("latin1") if hdlr else ""
+        if chosen is None or handler == "vide":
+            chosen = ((b, e), mdia, handler)
+        if handler == "vide":
+            break
+    if chosen is None:
+        raise ValueError("moov contains no usable trak")
+    (tb, te), (mb, me), handler = chosen
+
+    tkhd = _mp4_child(payload, tb, te, b"tkhd")
+    width = height = 0
+    if tkhd:
+        v = payload[tkhd[0]]
+        # version/flags(4) + times+ids (v0 20 / v1 32) + reserved(8) +
+        # layer/group/volume/reserved(8) + matrix(36) -> width/height 16.16
+        fixed = tkhd[0] + (76 if v == 0 else 88)
+        width = struct.unpack_from(">I", payload, fixed)[0] >> 16
+        height = struct.unpack_from(">I", payload, fixed + 4)[0] >> 16
+
+    mdhd = _mp4_child(payload, mb, me, b"mdhd")
+    if mdhd is None:
+        raise ValueError("trak has no mdhd")
+    v = payload[mdhd[0]]
+    if v == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, mdhd[0] + 4 + 16)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, mdhd[0] + 4 + 8)
+
+    minf = _mp4_child(payload, mb, me, b"minf")
+    stbl = _mp4_child(payload, *minf, b"stbl") if minf else None
+    if stbl is None:
+        raise ValueError("trak has no sample table (stbl)")
+
+    stsd = _mp4_child(payload, *stbl, b"stsd")
+    fourcc, sd_w, sd_h = "", 0, 0
+    if stsd and struct.unpack_from(">I", payload, stsd[0] + 4)[0] >= 1:
+        eb = stsd[0] + 8  # first sample entry: size+fourcc then VisualSampleEntry
+        fourcc = payload[eb + 4 : eb + 8].decode("latin1")
+        sd_w, sd_h = struct.unpack_from(">HH", payload, eb + 8 + 6 + 2 + 16)
+
+    stts = _mp4_child(payload, *stbl, b"stts")
+    n_from_stts, dur_from_stts = 0, 0
+    if stts:
+        (cnt,) = struct.unpack_from(">I", payload, stts[0] + 4)
+        for i in range(cnt):
+            c, d = struct.unpack_from(">II", payload, stts[0] + 8 + 8 * i)
+            n_from_stts += c
+            dur_from_stts += c * d
+
+    stsz = _mp4_child(payload, *stbl, b"stsz")
+    if stsz is None:
+        raise ValueError("stbl has no stsz")
+    const_size, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
+    sizes = (
+        [const_size] * n_samples
+        if const_size
+        else list(struct.unpack_from(f">{n_samples}I", payload, stsz[0] + 12))
+    )
+
+    stco = _mp4_child(payload, *stbl, b"stco")
+    if stco:
+        (nch,) = struct.unpack_from(">I", payload, stco[0] + 4)
+        chunk_offsets = list(struct.unpack_from(f">{nch}I", payload, stco[0] + 8))
+    else:
+        co64 = _mp4_child(payload, *stbl, b"co64")
+        if co64 is None:
+            raise ValueError("stbl has neither stco nor co64")
+        (nch,) = struct.unpack_from(">I", payload, co64[0] + 4)
+        chunk_offsets = list(struct.unpack_from(f">{nch}Q", payload, co64[0] + 8))
+
+    stsc = _mp4_child(payload, *stbl, b"stsc")
+    if stsc is None:
+        raise ValueError("stbl has no stsc")
+    (nruns,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+    runs = [
+        struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
+        for i in range(nruns)
+    ]
+
+    # ISO 14496-12 §8.7.4: each stsc run covers chunks [first_chunk, next
+    # run's first_chunk); samples are laid out contiguously within a chunk
+    samples: list[bytes] = []
+    si = 0
+    for ri, (first, per) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offsets)
+        for ch in range(first, last + 1):
+            pos = chunk_offsets[ch - 1]
+            for _ in range(per):
+                if si >= n_samples:
+                    break
+                samples.append(bytes(payload[pos : pos + sizes[si]]))
+                if len(samples[-1]) != sizes[si]:
+                    raise ValueError(f"sample {si} overruns the file")
+                pos += sizes[si]
+                si += 1
+    if si != n_samples:
+        raise ValueError(f"chunk map yields {si} samples, stsz declares {n_samples}")
+    if n_from_stts and n_from_stts != n_samples:
+        raise ValueError(f"stts declares {n_from_stts} samples, stsz {n_samples}")
+
+    return {
+        "width": int(width or sd_w),
+        "height": int(height or sd_h),
+        "fourcc": fourcc,
+        "handler": handler,
+        "timescale": int(timescale),
+        "duration": int(duration or dur_from_stts),
+        "duration_ms": int((duration or dur_from_stts) * 1000 // max(timescale, 1)),
+        "n_samples": int(n_samples),
+        "n_chunks": len(chunk_offsets),
+        "samples": samples,
+    }
+
+
 def _audio_features_real(payload: bytes, dim: int) -> np.ndarray:
     """Real audio features from a WAV payload: [sample_rate, channels, bits,
     n_samples, duration_ms] + per-chunk RMS energy filling the remaining dims."""
@@ -1876,21 +2205,31 @@ def _image_features_real(payload: bytes, dim: int) -> np.ndarray:
 
 
 def _video_features_real(payload: bytes, dim: int) -> np.ndarray:
-    """Real video features from an animated-GIF payload: [width, height,
-    n_frames, first-frame mean, last-frame mean] + per-frame gray means
-    filling the remaining dims (zero-padded past the frame count)."""
-    gif = decode_gif(payload)
-    fr = gif["frames"].astype(np.float64)
+    """Real video features from an animated-GIF or MP4 payload (sniffed by
+    magic): [width, height, n_frames, first-frame mean, last-frame mean] +
+    per-frame gray means filling the remaining dims (zero-padded past the
+    frame count). For MP4 the per-frame bytes come from the real sample-table
+    walk; interpreting them as gray values is the registry-seam stand-in for
+    the codec."""
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        mp4 = decode_mp4(payload)
+        frames = [np.frombuffer(s, dtype=np.uint8).astype(np.float64) for s in mp4["samples"]]
+        w, h, n = mp4["width"], mp4["height"], mp4["n_samples"]
+        means = [float(f.mean()) if f.size else 0.0 for f in frames]
+    else:
+        gif = decode_gif(payload)
+        fr = gif["frames"].astype(np.float64)
+        w, h, n = gif["width"], gif["height"], gif["n_frames"]
+        means = [float(fr[i].mean()) for i in range(len(fr))] if fr.size else []
     head = [
-        float(gif["width"]),
-        float(gif["height"]),
-        float(gif["n_frames"]),
-        float(fr[0].mean()) if fr.size else 0.0,
-        float(fr[-1].mean()) if fr.size else 0.0,
+        float(w),
+        float(h),
+        float(n),
+        means[0] if means else 0.0,
+        means[-1] if means else 0.0,
     ]
     k = max(dim - len(head), 0)
-    tail = [float(fr[i].mean()) if fr.size else 0.0 for i in range(min(k, len(fr)))]
-    tail += [0.0] * (k - len(tail))
+    tail = means[:k] + [0.0] * max(k - len(means), 0)
     return np.asarray((head + tail)[:dim], dtype=np.float32)
 
 
@@ -2009,6 +2348,32 @@ def gif_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
                     out_id.append(mid)
                     out_idx.append(idx)
                     out_bytes.append(gif["frames"][idx].tobytes())
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_bytes": out_bytes}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def mp4_frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling from MP4 containers: walk each payload's
+    sample tables (stts/stsc/stsz/stco) and keep every n-th sample's exact
+    bytes — the keyframe-extraction shape (1 media row -> k frame rows)
+    driven by the container's own index, no codec needed to SELECT frames.
+    Decoding the kept bytes is the registered codec's job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_bytes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                if len(payload) < 8 or payload[4:8] != b"ftyp":
+                    continue
+                mp4 = decode_mp4(payload)
+                for idx in range(0, mp4["n_samples"], every_n):
+                    out_id.append(mid)
+                    out_idx.append(idx)
+                    out_bytes.append(mp4["samples"][idx])
             yield pd.DataFrame(
                 {"media_id": out_id, "frame_idx": out_idx, "frame_bytes": out_bytes}
             )
@@ -2311,6 +2676,49 @@ def gif_media_from_documents(
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
+def mp4_media_from_documents(
+    docs: DataFrame,
+    limit: int | None = None,
+    n_frames: int = 3,
+    sample_delta: int = 40,
+    timescale: int = 1000,
+) -> DataFrame:
+    """Media table of REAL MP4 containers built from the documents table:
+    each doc's UTF-8 text bytes become every frame's payload (width = byte
+    count, height 1), chunked 2 samples per chunk so the decode summary's
+    digest can only match if the stsc/stco chunk walk recovers every sample
+    from its absolute file offset (with 3 frames the trailing short chunk
+    also forces a second stsc run). Identical frames take the constant-size
+    stsz shortcut. Oracle: md5(repeat(text, n_frames)); duration =
+    n_frames * sample_delta ms at the default 1 kHz timescale."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(pdf),
+                    "payload": [
+                        mp4_bytes(
+                            [(t or "").encode("utf-8")] * n_frames,
+                            sample_delta=sample_delta,
+                            timescale=timescale,
+                        )
+                        for t in pdf["text"]
+                    ],
+                    "meta": [
+                        {"container": "mp4", "codec": "gry8", "frames": str(n_frames)}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
 def g711_media_from_documents(
     docs: DataFrame, limit: int | None = None, law: str = "alaw"
 ) -> DataFrame:
@@ -2382,6 +2790,15 @@ def decode_real_summary(media: DataFrame) -> DataFrame:
                     rows["n_units"].append(img["width"])
                     rows["rate"].append(int(img["width"]))
                     rows["duration_ms"].append(int(img["height"]))
+                elif len(payload) >= 8 and payload[4:8] == b"ftyp":
+                    mp4 = decode_mp4(payload)
+                    # the builder writes identical frame payloads chunked
+                    # 2-per-chunk, so the md5 covers every sample sliced via
+                    # the real stsc/stco chunk walk from absolute offsets
+                    content = b"".join(mp4["samples"])
+                    rows["n_units"].append(mp4["width"])
+                    rows["rate"].append(int(mp4["n_samples"]))
+                    rows["duration_ms"].append(int(mp4["duration_ms"]))
                 elif payload[:6] in (b"GIF87a", b"GIF89a"):
                     gif = decode_gif(payload)
                     # the builder writes identical full-canvas frames under
