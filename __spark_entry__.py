@@ -884,6 +884,29 @@ def q_multimodal_mp4_frame_sample(spark, sf_dir):
 
 
 # =============================================================================
+def q_multimodal_decode_mp3(spark, sf_dir):
+    """REAL MPEG-audio (MP3) frame walk, zero external libs: documents ->
+    ID3v2.3 tag + 3 free-format MPEG-1 Layer III frames (each frame's data
+    bytes ARE the text) + ID3v1 trailer -> the pure-stdlib parser (syncsafe
+    tag skip, header field split per ISO 11172-3, free-format frame sizing
+    by same-header sync scan, duration from the 1152-samples/frame law) ->
+    per-file summary whose content_md5 covers EVERY frame's exact bytes. The
+    Huffman audio codec stays at the register_decoder seam; the frame index —
+    the part a pipeline owns — round-trips hash-exact. Oracle recomputes
+    md5(repeat(text, 3)); duration = 3*1152/32000 s = 108 ms. Reference
+    analog: binary payloads flow opaque (PipeCodec, msg_data)."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.multimodal import (
+        decode_real_summary,
+        mp3_media_from_documents,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    media = mp3_media_from_documents(docs, limit=MEDIA_LIMIT, n_frames=3)
+    return decode_real_summary(media)
+
+
+# =============================================================================
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-log LWW replay final state at sf0.001."""
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
@@ -939,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_g711": q_multimodal_decode_g711,
         "multimodal_decode_mp4": q_multimodal_decode_mp4,
         "multimodal_mp4_frame_sample": q_multimodal_mp4_frame_sample,
+        "multimodal_decode_mp3": q_multimodal_decode_mp3,
     }
 
 
@@ -1432,6 +1456,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
                    CAST(3 AS INTEGER) AS rate,
                    CAST(120 AS INTEGER) AS duration_ms,
+                   md5(repeat(text, 3)) AS content_md5
+            FROM documents WHERE doc_id < {MEDIA_LIMIT}
+        """,
+        # 3 free-format MP3 frames, each frame's data = the text bytes;
+        # duration 3 x 1152 samples at 32 kHz = 108 ms
+        "multimodal_decode_mp3": f"""
+            SELECT doc_id AS media_id,
+                   'audio' AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_units,
+                   CAST(32000 AS INTEGER) AS rate,
+                   CAST(108 AS INTEGER) AS duration_ms,
                    md5(repeat(text, 3)) AS content_md5
             FROM documents WHERE doc_id < {MEDIA_LIMIT}
         """,

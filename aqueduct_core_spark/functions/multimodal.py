@@ -2151,9 +2151,222 @@ def decode_mp4(payload: bytes) -> dict:
     }
 
 
+# ----------------------------------------------------------- MPEG audio
+# MP3 frame-level parsing with zero external libraries: ID3v2/ID3v1 tag
+# skipping, the 4-byte frame-header field split, the spec's bitrate /
+# sample-rate tables for all three MPEG versions x three layers, the exact
+# frame-length arithmetic (Layer I slot-of-4 rule; Layer III's 72-factor for
+# MPEG-2/2.5), optional CRC-16 slot, and free-format (bitrate index 0) frame
+# sizing by same-header sync scan. The Huffman AUDIO codec stays at the
+# register_decoder seam — the frame walk, which is the part a training-data
+# pipeline owns (how many frames, which bytes are frame k, what duration to
+# account), is real and oracle-gated. Reference analog: binary payloads flow
+# opaque end to end (PipeCodec, msg_data).
+
+# bitrate tables in kbps, index 1..14 (0 = free format, 15 = reserved)
+_MP3_BITRATES = {
+    ("1", 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("1", 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("2", 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    ("2", 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000], "2.5": [11025, 12000, 8000]}
+_MP3_VER_BITS = {"2.5": 0, "2": 2, "1": 3}
+_MP3_LAYER_BITS = {1: 3, 2: 2, 3: 1}
+
+
+def _mp3_samples_per_frame(version: str, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576  # Layer III halves for MPEG-2/2.5
+
+
+def mp3_frame_len(version: str, layer: int, bitrate_idx: int, sr_idx: int, padding: int) -> int:
+    """Exact frame length in bytes from the header fields (tabled bitrates).
+    Layer I counts 4-byte slots; Layers II/III count byte slots; Layer III
+    under MPEG-2/2.5 uses the 72 factor (576 samples/frame)."""
+    br = _MP3_BITRATES[(version if version == "1" else "2", layer)][bitrate_idx - 1] * 1000
+    sr = _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        return (12 * br // sr + padding) * 4
+    factor = 72 if (layer == 3 and version != "1") else 144
+    return factor * br // sr + padding
+
+
+def _mp3_header(
+    version: str, layer: int, bitrate_idx: int, sr_idx: int,
+    padding: int = 0, channel_mode: int = 3, crc: bool = False,
+) -> bytes:
+    hdr = (
+        (0x7FF << 21)
+        | (_MP3_VER_BITS[version] << 19)
+        | (_MP3_LAYER_BITS[layer] << 17)
+        | ((0 if crc else 1) << 16)
+        | (bitrate_idx << 12)
+        | (sr_idx << 10)
+        | (padding << 9)
+        | (channel_mode << 6)
+    )
+    return struct.pack(">I", hdr)
+
+
+def mp3_frame_bytes(
+    payload: bytes, version: str = "1", layer: int = 3, bitrate_idx: int = 9,
+    sr_idx: int = 0, padding: int = 0, channel_mode: int = 3, crc: bool = False,
+) -> bytes:
+    """One spec-exact MPEG audio frame with a tabled bitrate: the payload must
+    fill the frame's data slot exactly (frame_len - 4 header - 2 if CRC)."""
+    flen = mp3_frame_len(version, layer, bitrate_idx, sr_idx, padding)
+    cap = flen - 4 - (2 if crc else 0)
+    if len(payload) != cap:
+        raise ValueError(f"payload must be exactly {cap} bytes for this header, got {len(payload)}")
+    head = _mp3_header(version, layer, bitrate_idx, sr_idx, padding, channel_mode, crc)
+    body = (b"\x00\x00" if crc else b"") + payload  # CRC value itself is codec-checked, not ours
+    return head + body
+
+
+def mp3_free_bytes(
+    frames: list[bytes], version: str = "1", layer: int = 3, sr_idx: int = 2,
+    channel_mode: int = 3,
+) -> bytes:
+    """Free-format (bitrate index 0) MPEG audio stream: every frame carries
+    the same header and an arbitrary-but-constant data size; decoders size
+    the frames by scanning to the next sync (ISO 11172-3 allows exactly
+    this). Frame payloads must not contain 0xFF bytes (valid UTF-8 never
+    does), which the writer enforces."""
+    head = _mp3_header(version, layer, 0, sr_idx, 0, channel_mode)
+    for f in frames:
+        if b"\xff" in f:
+            raise ValueError("free-format frame payloads must not contain 0xFF (false sync)")
+    return b"".join(head + f for f in frames)
+
+
+def id3v2_bytes(fields: dict[str, str]) -> bytes:
+    """Minimal structurally-valid ID3v2.3 tag (the metadata prefix real MP3
+    corpora carry): per-field frames with 4-byte ids, big-endian sizes, and a
+    syncsafe total length in the 10-byte header."""
+    body = b""
+    for fid, text in fields.items():
+        data = b"\x00" + text.encode("latin1")  # encoding byte 0 = ISO-8859-1
+        body += fid.encode("ascii")[:4].ljust(4, b"X") + struct.pack(">I", len(data)) + b"\x00\x00" + data
+    n = len(body)
+    syncsafe = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3\x03\x00\x00" + syncsafe + body
+
+
+_ID3V1_STUB = b"TAG" + b"\x00" * 125
+
+
+def decode_mp3(payload: bytes) -> dict:
+    """MPEG audio (MP3 family) frame walk in pure stdlib: skip ID3v2 (syncsafe
+    size + optional footer) and a trailing ID3v1 block, then iterate frames —
+    header field split, tabled or free-format sizing, CRC slot skip — and
+    slice every frame's exact data bytes. Mixed-bitrate (VBR) streams are
+    walked per-frame; version/layer/sample-rate changes mid-stream are
+    refused loudly (corrupt stream, not a feature)."""
+    pos, has_id3v2 = 0, False
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        has_id3v2 = True
+        flags = payload[5]
+        size = (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        pos = 10 + size + (10 if flags & 0x10 else 0)
+    end, has_id3v1 = len(payload), False
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        has_id3v1, end = True, end - 128
+
+    frames: list[bytes] = []
+    bitrates: list[int] = []
+    stream_key = None  # (version, layer, sr_idx, crc) must stay constant
+    free_size = None
+    version, layer, sr_idx, channel_mode, crc = "", 0, 0, 3, False
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError(f"truncated MPEG frame header at byte {pos}")
+        (hdr,) = struct.unpack_from(">I", payload, pos)
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        ver_bits = (hdr >> 19) & 3
+        layer_bits = (hdr >> 17) & 3
+        if ver_bits == 1 or layer_bits == 0:
+            raise ValueError("reserved MPEG version/layer bits")
+        version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+        layer = {3: 1, 2: 2, 1: 3}[layer_bits]
+        crc = (hdr >> 16) & 1 == 0
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 3
+        pad = (hdr >> 9) & 1
+        channel_mode = (hdr >> 6) & 3
+        if br_idx == 15 or sr_idx == 3:
+            raise ValueError("reserved bitrate/sample-rate index")
+        key = (version, layer, sr_idx, crc)
+        if stream_key is None:
+            stream_key = key
+        elif key != stream_key:
+            raise ValueError(f"frame {len(frames)} changes version/layer/rate mid-stream")
+        if br_idx == 0:  # free format: constant frame size, found by sync scan
+            if free_size is None:
+                nxt = payload.find(payload[pos : pos + 4], pos + 4, end)
+                free_size = (nxt - pos) if nxt != -1 else (end - pos)
+            flen = min(free_size, end - pos)
+            bitrates.append(0)
+        else:
+            flen = mp3_frame_len(version, layer, br_idx, sr_idx, pad)
+            bitrates.append(_MP3_BITRATES[(version if version == "1" else "2", layer)][br_idx - 1])
+        if pos + flen > end:
+            raise ValueError(f"frame {len(frames)} overruns the stream")
+        data_start = pos + 4 + (2 if crc else 0)
+        frames.append(bytes(payload[data_start : pos + flen]))
+        pos += flen
+    if not frames:
+        raise ValueError("no MPEG audio frames")
+
+    spf = _mp3_samples_per_frame(version, layer)
+    sample_rate = _MP3_RATES[version][sr_idx]
+    tabled = [b for b in bitrates if b]
+    return {
+        "version": version,
+        "layer": layer,
+        "sample_rate": sample_rate,
+        "channels": 1 if channel_mode == 3 else 2,
+        "samples_per_frame": spf,
+        "n_frames": len(frames),
+        "n_samples": spf * len(frames),
+        "duration_ms": spf * len(frames) * 1000 // sample_rate,
+        "bitrate_kbps": tabled[0] if tabled and len(set(tabled)) == 1 else 0,
+        "vbr": len(set(bitrates)) > 1,
+        "free_format": 0 in bitrates,
+        "has_id3v2": has_id3v2,
+        "has_id3v1": has_id3v1,
+        "frames": frames,
+    }
+
+
 def _audio_features_real(payload: bytes, dim: int) -> np.ndarray:
     """Real audio features from a WAV payload: [sample_rate, channels, bits,
-    n_samples, duration_ms] + per-chunk RMS energy filling the remaining dims."""
+    n_samples, duration_ms] + per-chunk RMS energy filling the remaining dims.
+    MP3 payloads (ID3 prefix or frame sync) take the frame walk instead: bits
+    slot carries the layer, chunk energies the per-frame byte means (the
+    registry-seam stand-in for the Huffman codec)."""
+    if payload[:3] == b"ID3" or (len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0):
+        mp3 = decode_mp3(payload)
+        head = [
+            float(mp3["sample_rate"]),
+            float(mp3["channels"]),
+            float(mp3["layer"]),
+            float(mp3["n_samples"]),
+            float(mp3["duration_ms"]),
+        ]
+        k = max(dim - len(head), 0)
+        means = [
+            float(np.frombuffer(f, dtype=np.uint8).mean()) if f else 0.0
+            for f in mp3["frames"][:k]
+        ]
+        tail = means + [0.0] * (k - len(means))
+        return np.asarray((head + tail)[:dim], dtype=np.float32)
     wav = decode_wav(payload)
     s = wav["samples"].astype(np.float64)
     if s.ndim > 1:
@@ -2719,6 +2932,46 @@ def mp4_media_from_documents(
     return src.mapInPandas(build, MEDIA_SCHEMA)
 
 
+def mp3_media_from_documents(
+    docs: DataFrame,
+    limit: int | None = None,
+    n_frames: int = 3,
+    sr_idx: int = 2,
+) -> DataFrame:
+    """Media table of REAL MPEG audio streams built from the documents table:
+    an ID3v2.3 tag (title = doc id), then `n_frames` free-format MPEG-1
+    Layer III frames whose data bytes each ARE the text, then an ID3v1
+    trailer — so the decode summary's digest can only match if tag skipping,
+    the header field split, and the free-format sync-scan sizing all recover
+    every frame's exact bytes. Oracle: md5(repeat(text, n_frames)); at the
+    default 32 kHz (sr_idx 2) duration = n_frames * 1152 / 32000 s, exactly
+    108 ms for 3 frames."""
+    src = docs.select("doc_id", "text")
+    if limit is not None:
+        src = src.filter(F.col("doc_id") < limit)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "payload": [
+                        id3v2_bytes({"TIT2": f"doc {did}"})
+                        + mp3_free_bytes([(t or "").encode("utf-8")] * n_frames, sr_idx=sr_idx)
+                        + _ID3V1_STUB
+                        for did, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": [
+                        {"container": "mp3", "codec": "mp3-free", "frames": str(n_frames)}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return src.mapInPandas(build, MEDIA_SCHEMA)
+
+
 def g711_media_from_documents(
     docs: DataFrame, limit: int | None = None, law: str = "alaw"
 ) -> DataFrame:
@@ -2809,6 +3062,17 @@ def decode_real_summary(media: DataFrame) -> DataFrame:
                     rows["n_units"].append(gif["width"])
                     rows["rate"].append(int(gif["n_frames"]))
                     rows["duration_ms"].append(int(gif["height"]))
+                elif payload[:3] == b"ID3" or (
+                    len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
+                ):
+                    mp3 = decode_mp3(payload)
+                    # the builder writes identical free-format frame payloads
+                    # between ID3v2/ID3v1 tags, so the md5 covers every
+                    # frame's bytes sized by the real sync scan
+                    content = b"".join(mp3["frames"])
+                    rows["n_units"].append(len(mp3["frames"][0]))
+                    rows["rate"].append(int(mp3["sample_rate"]))
+                    rows["duration_ms"].append(int(mp3["duration_ms"]))
                 elif payload[:2] == b"\xff\xd8":
                     img = decode_jpeg(payload)
                     # one byte per MCU (the builders' layout): top-left pixel
