@@ -453,6 +453,21 @@ def q_dedup_token_jaccard(spark, sf_dir):
     return token_jaccard_pairs(docs, threshold=JACCARD_T, max_doc_freq=TOKEN_DF_CAP)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Corpus-level dedup decision: connected components over the token-Jaccard
+    near-dup pair graph (transitive closure — A~B, B~C collapse to ONE cluster
+    even when A!~C), every doc assigned its min-id representative plus cluster
+    size. Spark side: iterative min-label propagation with pointer jumping
+    (functions/dedup.py connected_components); oracle side: DuckDB recursive
+    CTE transitive closure over the identical pair set."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.dedup import dedup_assignments, token_jaccard_pairs
+
+    docs = _t("documents")(spark, sf_dir)
+    pairs = token_jaccard_pairs(docs, threshold=JACCARD_T, max_doc_freq=TOKEN_DF_CAP)
+    return dedup_assignments(docs, pairs).select("doc_id", "rep_id", "cluster_size")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     _conf(spark)
     emb = _t("embeddings")(spark, sf_dir)
@@ -938,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact_digests": q_dedup_exact_digests,
         "dedup_token_jaccard": q_dedup_token_jaccard,
+        "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_neardup_exact": q_ann_neardup_exact,
         "dataset_user_history": q_dataset_user_history,
@@ -1281,6 +1297,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) >= {JACCARD_T}
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE tok0 AS (
+                SELECT doc_id AS id,
+                       unnest(list_distinct(regexp_extract_all(lower(text), {_TOKEN_SQL}))) AS tok
+                FROM documents),
+            rare AS (SELECT tok FROM tok0 GROUP BY tok HAVING count(*) <= {TOKEN_DF_CAP}),
+            tok AS (SELECT t.id, t.tok FROM tok0 t JOIN rare USING (tok)),
+            sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+            shared AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+                GROUP BY a.id, b.id),
+            pairs AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE round(shared / CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) >= {JACCARD_T}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+            labels AS (
+                SELECT src AS doc_id, least(src, min(dst)) AS rep_id
+                FROM reach GROUP BY src),
+            asgn AS (
+                SELECT d.doc_id, coalesce(l.rep_id, d.doc_id) AS rep_id
+                FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+            SELECT doc_id, rep_id,
+                   count(*) OVER (PARTITION BY rep_id) AS cluster_size
+            FROM asgn
         """,
         "dataset_user_history": """
             SELECT user_id,

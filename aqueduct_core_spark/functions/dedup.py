@@ -579,3 +579,102 @@ def simhash_near_pairs(
     out = out.localCheckpoint(eager=True)
     cached.unpersist()
     return out
+
+
+# ------------------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup clusters from a pair list: every node -> min node id reachable
+    through the pair graph (its canonical representative). Pairs alone don't
+    dedup a corpus — transitive near-dups (A~B, B~C, A!~C) must collapse into
+    ONE keep decision, which is exactly connected components over the pair
+    graph (the reference's LWW collapse is the per-KEY analog; this is the
+    cross-document one a training-data pipeline needs after MinHash/SimHash).
+
+    Scale design (100 TB): iterative min-label propagation with pointer
+    jumping (label <- label[label] each round, the Shiloach-Vishkin / MapReduce
+    "hash-to-min" family — Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14). Per round: one edge-join + groupBy (shuffle on node
+    id) and one label self-join; pointer jumping collapses chains
+    geometrically, so rounds ~ O(log(diameter)) — near-dup clusters are
+    star-like, typically 2-4 rounds. Each round is localCheckpoint-ed: without
+    it the plan doubles per iteration and Catalyst analysis time blows up
+    long before the data does (on a cluster you'd checkpoint to reliable
+    storage instead). Convergence is detected with a single scalar aggregate —
+    labels only ever decrease, so sum(label) is strictly monotone and equal
+    iff fixpoint — no extra join, no collect of per-node state.
+
+    Returns (id_col, rep_id): one row per node in `nodes`, singletons mapping
+    to themselves.
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # Pin the (possibly expensive: MinHash/SimHash/Jaccard) pair plan once so
+    # every iteration re-reads a materialized edge list, not the generator.
+    edges = edges.localCheckpoint(eager=True)
+
+    lab = (
+        nodes.select(F.col(id_col).alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = lab.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()["s"]
+    for _ in range(max_iter):
+        # propagate: label(v) <- min(label(v), min over neighbors' labels)
+        nbr = (
+            edges.join(
+                lab.select(F.col("v").alias("bv"), F.col("label").alias("blabel")),
+                F.col("b") == F.col("bv"),
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nbr_min"))
+        )
+        new = lab.join(nbr, lab["v"] == nbr["a"], "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: label(v) <- label(label(v)) — halves chain depth
+        hop = new.select(F.col("v").alias("lv"), F.col("label").alias("llabel"))
+        new = new.join(hop, new["label"] == hop["lv"], "left").select(
+            "v", F.coalesce(F.col("llabel"), F.col("label")).alias("label")
+        )
+        new = new.localCheckpoint(eager=True)
+        cur_sum = new.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()["s"]
+        lab = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab.select(F.col("v").alias(id_col), F.col("label").alias("rep_id"))
+
+
+def dedup_assignments(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Corpus dedup decision table: (doc_id, rep_id, cluster_size, keep).
+    keep = (doc_id == rep_id) — the min-id document survives, transitive
+    near-dups collapse with it. cluster_size rides one extra shuffle on
+    rep_id (a window count), which the downstream quality-weighted sampling
+    needs anyway."""
+    from pyspark.sql import Window
+
+    asgn = connected_components(pairs, docs, id_col=id_col, a_col=a_col, b_col=b_col)
+    w = Window.partitionBy("rep_id")
+    return asgn.select(
+        id_col,
+        "rep_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("rep_id")).alias("keep"),
+    )
