@@ -379,6 +379,64 @@ def q_cdc_chained_consumer(spark, sf_dir):
     )
 
 
+def q_cdc_replay_spec_evolution(spark, sf_dir):
+    """Bucket-spec evolution end-to-end: the derived change feed replays into
+    a MOR lake table in two commits with a LIVE partition-spec evolution
+    (n_buckets 4 -> 8, `LakeTable.evolve_bucketing` — Iceberg partition-spec
+    evolution analog: metadata-only, no data movement) between them, then a
+    bounded `migrate_spec_files` pass rewrites SOME old-spec files so the
+    final read crosses base/delta files in BOTH layouts plus migrated ones —
+    the mixed-state LWW resolution, row-level bucket scoping, and
+    no-changelog-re-emission machinery all under one hash gate. The oracle is
+    layout-blind: plain LWW over the same feed (physical layout must never
+    change query results)."""
+    _conf(spark)
+    from aqueduct_core_spark.lake.merge import merge_change_batch
+    from aqueduct_core_spark.lake.table import LakeTable
+    from aqueduct_core_spark.maintenance import migrate_spec_files
+    from aqueduct_core_spark.schema import TRANSCRIPT_PHYSICAL_SCHEMA
+    from aqueduct_core_spark.transcripts import read_transcripts
+
+    ev = _events(spark, sf_dir)
+    feed = ev.select(
+        F.col("event_id").cast("long").alias("change_lsn"),
+        F.when(_is_delete(), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit("turn").alias("entity"),
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(40)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.pmod(F.col("user_id"), F.lit(N_ROUTING)).cast("long").alias("routing_id"),
+        F.lit(None).cast("int").alias("event_size"),
+    )
+    mid = int(feed.agg(F.max("change_lsn")).collect()[0][0]) // 2
+    root = _chainq_scratch()
+    t = LakeTable.create(
+        spark,
+        f"{root}/evolved",
+        TRANSCRIPT_PHYSICAL_SCHEMA,
+        bucket_key="conv_id",
+        n_buckets=4,
+        properties={"merge_mode": "mor"},
+    )
+    merge_change_batch(t, feed.filter(F.col("change_lsn") <= mid), batch_id=1)
+    t.evolve_bucketing(8)
+    merge_change_batch(t, feed.filter(F.col("change_lsn") > mid), batch_id=2)
+    migrate_spec_files(t, max_files=1)  # partial: table stays mixed-spec
+    out = read_transcripts(LakeTable(spark, f"{root}/evolved"))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 def q_olap_segment_stats(spark, sf_dir):
     _conf(spark)
     cust = _t("customer")(spark, sf_dir)
@@ -943,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_visibility_window": q_cdc_visibility_window,
         "cdc_mark_sweep_survivors": q_cdc_mark_sweep_survivors,
         "cdc_chained_consumer": q_cdc_chained_consumer,
+        "cdc_replay_spec_evolution": q_cdc_replay_spec_evolution,
         "olap_segment_stats": q_olap_segment_stats,
         "text_top_bigrams": q_text_top_bigrams,
         "olap_pricing_summary": q_olap_pricing_summary,
@@ -1205,6 +1264,24 @@ def oracle_sql() -> dict[str, str]:
                                WHERE ts <= TIMESTAMP '{BEFORE_TS}')
         """,
         "cdc_chained_consumer": """
+            WITH feed AS (
+                SELECT event_id AS change_lsn,
+                       (event_type = 'error') AS is_del,
+                       'c' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(event_id % 40 AS INTEGER) AS turn_idx,
+                       event_type AS role,
+                       event_type || '#' || CAST(event_id AS VARCHAR) AS text,
+                       ts
+                FROM events),
+            win AS (
+                SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                             ORDER BY ts DESC, change_lsn DESC) rn
+                FROM feed)
+            SELECT conv_id, turn_idx, role, text,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+            FROM win WHERE rn = 1 AND NOT is_del
+        """,
+        "cdc_replay_spec_evolution": """
             WITH feed AS (
                 SELECT event_id AS change_lsn,
                        (event_type = 'error') AS is_del,

@@ -43,6 +43,7 @@ from aqueduct_core_spark.lake.table import (
     _file_may_match,
     bucket_expr,
     cluster_opts,
+    is_mixed_spec,
 )
 from aqueduct_core_spark.schema import (
     CONV_DELETE_SENTINEL_TURN_IDX,
@@ -247,6 +248,13 @@ def merge_change_batch(
                 keep = list(snap.files)
                 affected = sorted({f["bucket"] for f in new_files})
             else:
+                if is_mixed_spec(snap):
+                    # unreachable through the public API (evolve_bucketing is
+                    # MOR-only) — refuse rather than mis-prune two layouts
+                    raise RuntimeError(
+                        "copy-on-write merge on a mixed-bucket-spec table; "
+                        "finish spec migration first"
+                    )
                 # Copy-on-write: only buckets the batch touches are read (manifest
                 # pruning; the bucket set is a cheap int-distinct over the batch)
                 # and rewritten fully — reads stay resolution-free. Same
@@ -459,8 +467,22 @@ def read_resolved(
         if buckets is not None
         else sorted({f["bucket"] for f in snap.files})
     )
-    dirty = [b for b in scope if b in delta_buckets]
-    clean = [b for b in scope if b not in delta_buckets]
+    mixed = is_mixed_spec(snap)
+    if mixed:
+        # Mid-bucket-spec-migration: a key's rows span two layouts, so the
+        # per-bucket clean/dirty split and stats skipping are unsound (an
+        # old-spec file may hold the winner that suppresses a loser in ANY
+        # current-spec bucket). Degrade to full resolution with no file
+        # skipping — the documented migration-window cost; ranges still
+        # row-filter below. table.read() handles old-spec file inclusion and
+        # row-level bucket scoping.
+        dirty, clean = list(scope), []
+        delta_buckets = set(scope)
+        ranges_for_prune = None
+    else:
+        dirty = [b for b in scope if b in delta_buckets]
+        clean = [b for b in scope if b not in delta_buckets]
+        ranges_for_prune = ranges
     if bucketed_output:
         # writer path: one exchange over the whole scope (the write must be
         # partitioned by bucket anyway); file skipping still applies to the
@@ -469,7 +491,7 @@ def read_resolved(
             buckets=buckets,
             version=ver,
             with_bucket_col=True,
-            prune_ranges=ranges,
+            prune_ranges=ranges_for_prune,
             prune_exempt_buckets=delta_buckets,
         )
         df = df.repartition(table.write_parallelism(snap), F.col(BUCKET_COL))
@@ -479,7 +501,7 @@ def read_resolved(
             buckets=buckets,
             version=ver,
             with_bucket_col=with_bucket_col,
-            prune_ranges=ranges,
+            prune_ranges=ranges_for_prune,
         )
     else:
         # Dirty buckets resolve on ONE exchange partitioned by
@@ -492,7 +514,9 @@ def read_resolved(
         # spark.sql.shuffle.partitions (and AQE coalescing) size the read.
         # NO file skipping on this side: every file in a dirty bucket may
         # hold a suppressing winner.
-        d = table.read(buckets=dirty, version=ver, with_bucket_col=True)
+        d = table.read(
+            buckets=(buckets if mixed else dirty), version=ver, with_bucket_col=True
+        )
         res = resolve_lww(
             d.repartition(F.col(BUCKET_COL), F.col("conv_id")),
             group_prefix=(BUCKET_COL,),
@@ -513,7 +537,7 @@ def read_resolved(
                 buckets=clean,
                 version=ver,
                 with_bucket_col=with_bucket_col,
-                prune_ranges=ranges,
+                prune_ranges=ranges_for_prune,
             )
             out = res.unionByName(c)
         else:
@@ -579,7 +603,15 @@ def changed_entries(
     for v in range(since_version + 1, until_version + 1):
         snap = table.snapshot_at(v)
         for f in snap.files:
-            if f["path"] not in seen and f.get("kind", "base") == "delta":
+            # "migrated" entries are bucket-spec-migration rewrites of rows a
+            # consumer already received under their ORIGINAL delta paths (the
+            # historical manifests referencing those paths are untouched) —
+            # re-emitting them would double-deliver the changelog
+            if (
+                f["path"] not in seen
+                and f.get("kind", "base") == "delta"
+                and not f.get("migrated")
+            ):
                 added.append(f)
         seen |= {f["path"] for f in snap.files}
     return added, table.snapshot_at(until_version)

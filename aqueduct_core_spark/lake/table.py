@@ -131,6 +131,33 @@ def bucket_expr(col_name: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col_name)), F.lit(n_buckets)).cast("int")
 
 
+# --------------------------------------------------------- bucket-spec evolution
+# The bucket count chosen at CREATE is wrong by the time a table has grown
+# 100x; rewriting 100 TB to fix it is not an option. Iceberg's answer is
+# partition-SPEC evolution: the layout becomes versioned, old files keep the
+# spec they were written under, new files use the current one, and migration
+# is incremental. Here: Snapshot.n_buckets/bucket_key always describe the
+# CURRENT spec; properties carry the spec id and history; each file entry
+# records the spec it was laid out under ("spec", absent = 1).
+
+
+def current_spec_id(snap: "Snapshot") -> int:
+    return int(snap.properties.get("bucket_spec_id", "1"))
+
+
+def file_spec(entry: dict) -> int:
+    return int(entry.get("spec", 1))
+
+
+def is_mixed_spec(snap: "Snapshot") -> bool:
+    """True while any live file predates the current bucket spec. In this
+    state a key's rows span TWO layouts (one bucket id per spec), so bucket
+    scoping, stats skipping, and clean/dirty resolution splitting all degrade
+    to their conservative forms until migration completes."""
+    cur = current_spec_id(snap)
+    return any(file_spec(f) != cur for f in snap.files)
+
+
 #: process-wide parse cache for immutable segment files. Entry dicts are shared
 #: between the cache and every hydrated Snapshot — manifest entries are
 #: treated as immutable everywhere (writers build NEW dicts), so sharing is
@@ -309,17 +336,39 @@ class LakeTable:
         snap = self.current() if version is None else self.snapshot_at(version)
         target_schema = snap.schema()
         files = snap.files
+        cur_spec = current_spec_id(snap)
+        mixed = is_mixed_spec(snap)
         if buckets is not None:
             bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
+            if mixed:
+                # Old-spec files are laid out under a DIFFERENT bucket space —
+                # their entry bucket ids say nothing about the requested
+                # (current-spec) scope, so they are all read and scoped at the
+                # ROW level below. Current-spec files prune as usual.
+                files = [
+                    f for f in files if file_spec(f) != cur_spec or f["bucket"] in bset
+                ]
+            else:
+                files = [f for f in files if f["bucket"] in bset]
         if prune_ranges:
             exempt = prune_exempt_buckets or set()
+            # Old-spec files are never stats-skipped: their bucket ids don't
+            # address the exempt set's space, and an old-spec file may hold
+            # the LWW winner that suppresses a newer loser anywhere.
             files = [
                 f
                 for f in files
-                if f["bucket"] in exempt or _file_may_match(f, prune_ranges)
+                if (mixed and file_spec(f) != cur_spec)
+                or f["bucket"] in exempt
+                or _file_may_match(f, prune_ranges)
             ]
         df = self.read_entries(files, snap)
+        if mixed and buckets is not None:
+            # Row-level bucket scoping (semantically a no-op for rows from
+            # current-spec files — their layout already satisfies it).
+            df = df.filter(
+                bucket_expr(snap.bucket_key, snap.n_buckets).isin([int(b) for b in bset])
+            )
         if with_bucket_col:
             df = df.withColumn(BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets))
         return df
@@ -459,6 +508,7 @@ class LakeTable:
                     "rows": rows,
                     "stats": stats,
                     "kind": kind,  # base | delta (merge-on-read)
+                    "spec": current_spec_id(snap),  # bucket layout written under
                 }
             )
         return entries
@@ -506,6 +556,64 @@ class LakeTable:
                 files=snap.files,
                 txn=snap.txn,
                 properties=snap.properties,
+                parent=snap.version,
+                committed_at=time.time(),
+            )
+            try:
+                self.try_commit(nxt)
+                return nxt
+            except CommitConflict:
+                continue
+
+    def evolve_bucketing(self, new_n_buckets: int) -> Snapshot:
+        """Evolve the bucket spec (Iceberg partition-spec evolution): a
+        metadata-only commit that makes `new_n_buckets` the current layout.
+        NO data moves — existing files keep the spec they were written under
+        (every live entry is stamped with the outgoing spec id in this same
+        commit), new writes land in the new layout, and
+        maintenance.migrate_spec_files / compact_table retire the old files
+        incrementally. O(1) driver-side regardless of table size: the answer
+        to "n_buckets chosen at CREATE is wrong at 100x" that doesn't cost a
+        100 TB rewrite.
+
+        MOR-only: a copy-on-write merge prunes-and-rewrites whole buckets by
+        layout, which is ill-defined while two layouts coexist; COW tables
+        should rebucket via one compact_table under the new spec instead
+        (they rewrite everything per touched bucket anyway)."""
+        while True:
+            snap = self.current()
+            if snap.properties.get("merge_mode", "cow") != "mor":
+                raise ValueError(
+                    "evolve_bucketing requires merge_mode=mor; for a COW table "
+                    "run compact_table after recreating with the new bucket count"
+                )
+            if int(new_n_buckets) < 1:
+                raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+            if snap.n_buckets == int(new_n_buckets):
+                # idempotent no-op (covers the ambiguous-success retry)
+                return snap
+            old_id = current_spec_id(snap)
+            specs = json.loads(snap.properties.get("bucket_specs", "[]")) or [
+                {"spec": old_id, "n_buckets": snap.n_buckets}
+            ]
+            new_id = max(s["spec"] for s in specs) + 1
+            nxt = Snapshot(
+                version=snap.version + 1,
+                current_schema_id=snap.current_schema_id,
+                schemas=snap.schemas,
+                n_buckets=int(new_n_buckets),
+                bucket_key=snap.bucket_key,
+                # stamp every live entry with the spec it was written under —
+                # pre-evolution entries carry no "spec" key (implicit 1)
+                files=[{**f, "spec": file_spec(f)} for f in snap.files],
+                txn=snap.txn,
+                properties={
+                    **snap.properties,
+                    "bucket_spec_id": str(new_id),
+                    "bucket_specs": json.dumps(
+                        specs + [{"spec": new_id, "n_buckets": int(new_n_buckets)}]
+                    ),
+                },
                 parent=snap.version,
                 committed_at=time.time(),
             )

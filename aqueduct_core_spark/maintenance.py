@@ -25,7 +25,11 @@ from aqueduct_core_spark.lake.table import (
     CommitConflict,
     LakeTable,
     Snapshot,
+    bucket_expr,
     cluster_opts,
+    current_spec_id,
+    file_spec,
+    is_mixed_spec,
 )
 
 
@@ -122,19 +126,48 @@ def compact_bucket_range(
 
     target = set(buckets)
     snap0 = table.current()
-    folded = {f["path"] for f in snap0.files if f["bucket"] in target}
+    mixed = is_mixed_spec(snap0)
+    cur_spec = current_spec_id(snap0)
+    # Only CURRENT-spec files fold: old-spec entries' bucket ids live in a
+    # different layout space, and they hold rows of buckets OUTSIDE the target
+    # range — removing one here would lose those rows. They are retired by
+    # migrate_spec_files / compact_table instead.
+    folded = {
+        f["path"]
+        for f in snap0.files
+        if f["bucket"] in target and file_spec(f) == cur_spec
+    }
     if not folded:
         return CompactionStats(version=snap0.version, removed_snapshots=0, skipped=True)
-    df = read_resolved(
-        table,
-        version=snap0.version,
-        buckets=buckets,
-        with_bucket_col=True,
-        bucketed_output=True,
-    )
-    kept = df.filter(
-        ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
-    )
+    if mixed:
+        # Fold exactly the selected files (read_resolved would pull old-spec
+        # rows into the rewrite, duplicating them against their still-live
+        # source files). LWW-superseded drops among these rows stay safe: the
+        # superseding winner is in the fold, and conversation tombstones are
+        # sentinel-key rows that survive resolution.
+        entries = [f for f in snap0.files if f["path"] in folded]
+        df = table.read_entries(entries, snap0).withColumn(
+            BUCKET_COL, bucket_expr(snap0.bucket_key, snap0.n_buckets)
+        )
+        df = df.repartition(table.write_parallelism(snap0), F.col(BUCKET_COL))
+        from aqueduct_core_spark.lake.merge import resolve_lww
+
+        df = resolve_lww(df, group_prefix=(BUCKET_COL,))
+        # NO tombstone drop while two specs coexist: a retention-expired
+        # tombstone here may be the only thing suppressing an older live row
+        # in an old-spec file — dropping it would resurrect that row.
+        kept = df
+    else:
+        df = read_resolved(
+            table,
+            version=snap0.version,
+            buckets=buckets,
+            with_bucket_col=True,
+            bucketed_output=True,
+        )
+        kept = df.filter(
+            ~(F.col("_deleted") & (F.col("ts") <= F.lit(tombstone_retention_ts)))
+        )
     cc, tfr = cluster_opts(snap0)
     new_files = table.write_files(
         kept, snap0, kind="base", already_bucketed=True,
@@ -210,10 +243,14 @@ class CompactionPolicy:
 
 def delta_pressure(snap: Snapshot) -> dict[int, tuple[int, int]]:
     """Per-bucket MOR debt from manifest stats alone (no data scan):
-    bucket -> (delta_file_count, delta_rows). Stat-less files count 1 row."""
+    bucket -> (delta_file_count, delta_rows). Stat-less files count 1 row.
+    Current-spec files only: old-spec entries' bucket ids address a different
+    layout, and compact_bucket_range cannot retire them anyway (their debt is
+    paid by migrate_spec_files)."""
+    cur_spec = current_spec_id(snap)
     out: dict[int, tuple[int, int]] = {}
     for f in snap.files:
-        if f.get("kind") != "delta":
+        if f.get("kind") != "delta" or file_spec(f) != cur_spec:
             continue
         n, r = out.get(f["bucket"], (0, 0))
         out[f["bucket"]] = (n + 1, r + (f.get("rows") or 1))
@@ -270,6 +307,94 @@ def maybe_compact(
                 ranges,
             )
         )
+
+
+@dataclass
+class MigrationStats:
+    migrated_files: int
+    remaining_files: int
+    version: int
+    done: bool
+
+
+def migrate_spec_files(
+    table: LakeTable,
+    max_files: int | None = None,
+    writer_id: str = "maintenance",
+) -> MigrationStats:
+    """Incrementally rewrite files from retired bucket specs into the current
+    layout — the data-moving half of evolve_bucketing, sized by `max_files`
+    per call so a 100 TB table migrates as many bounded background jobs
+    instead of one big-bang rewrite (Iceberg's rewrite_data_files with a
+    target spec). Each call: pick up to max_files old-spec entries, rewrite
+    their rows bucketed under the current spec (kind preserved — delta rows
+    stay unresolved deltas; base rows stay base), and commit a rebase that
+    swaps exactly those entries. The rewritten entries are flagged
+    "migrated" so changed_entries never re-emits rows a chained consumer
+    already received under the original paths (which stay on disk for
+    historical manifests until snapshot expiry, same as compaction folds).
+
+    Safe against concurrent writers exactly like compact_bucket_range: input
+    pinned to the entry snapshot, commit rebases, ambiguous success detected
+    by our paths being live. When no old-spec files remain the table leaves
+    the mixed state and full per-bucket pruning/skipping resumes."""
+    snap0 = table.current()
+    cur_spec = current_spec_id(snap0)
+    old = [f for f in snap0.files if file_spec(f) != cur_spec]
+    if not old:
+        return MigrationStats(0, 0, snap0.version, done=True)
+    # smallest-first: drains the long tail of tiny files quickly and keeps
+    # each bounded job's input size predictable
+    old.sort(key=lambda f: (f.get("rows") or 1, f["path"]))
+    sel = old if max_files is None else old[: max(1, int(max_files))]
+    folded = {f["path"] for f in sel}
+    cc, tfr = cluster_opts(snap0)
+    new_files: list[dict] = []
+    for kind in ("base", "delta"):
+        grp = [f for f in sel if f.get("kind", "base") == kind]
+        if not grp:
+            continue
+        df = table.read_entries(grp, snap0).withColumn(
+            BUCKET_COL, bucket_expr(snap0.bucket_key, snap0.n_buckets)
+        )
+        ents = table.write_files(
+            df,
+            snap0,
+            kind=kind,
+            # base rewrites keep the table's clustering contract; delta rows
+            # stay unsorted like the ingest path that wrote them
+            cluster_col=cc if kind == "base" else None,
+            max_records_per_file=tfr if kind == "base" else None,
+        )
+        for e in ents:
+            e["migrated"] = True
+        new_files.extend(ents)
+    ours = {f["path"] for f in new_files}
+    while True:
+        cur = table.current()
+        if any(f["path"] in ours for f in cur.files):
+            # ambiguous success: our rebase landed, response lost
+            remaining = sum(1 for f in cur.files if file_spec(f) != current_spec_id(cur))
+            return MigrationStats(len(sel), remaining, cur.version, remaining == 0)
+        files = [f for f in cur.files if f["path"] not in folded] + new_files
+        nxt = Snapshot(
+            version=cur.version + 1,
+            current_schema_id=cur.current_schema_id,
+            schemas=cur.schemas,
+            n_buckets=cur.n_buckets,
+            bucket_key=cur.bucket_key,
+            files=files,
+            txn=cur.txn,
+            properties=cur.properties,
+            parent=cur.version,
+            committed_at=time.time(),
+        )
+        try:
+            table.try_commit(nxt)
+            remaining = sum(1 for f in files if file_spec(f) != current_spec_id(nxt))
+            return MigrationStats(len(sel), remaining, nxt.version, remaining == 0)
+        except CommitConflict:
+            continue  # rebase onto the new current; rewritten files are kept
 
 
 def compact_table_parallel(

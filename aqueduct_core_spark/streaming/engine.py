@@ -481,12 +481,29 @@ class IngestEngine:
             )
 
             self._harvest_compaction()
+            cur = table.current()
             if self._compaction_future is None and buckets_over_threshold(
-                table.current(), self.compaction_policy
+                cur, self.compaction_policy
             ):
                 self._compaction_future = self._compaction_pool.submit(
                     maybe_compact, table, self.compaction_policy
                 )
+            elif self._compaction_future is None:
+                # bucket-spec migration rides the same single-outstanding
+                # worker when delta debt is quiet: opt-in via the table
+                # property spec_migration.files_per_commit, a bounded
+                # background rewrite per ingest commit until the table
+                # leaves the mixed-spec state (see table.evolve_bucketing)
+                per = cur.properties.get("spec_migration.files_per_commit")
+                if per:
+                    from aqueduct_core_spark.lake.table import is_mixed_spec
+                    from aqueduct_core_spark.maintenance import migrate_spec_files
+
+                    if is_mixed_spec(cur):
+                        # list-wrapped: _harvest_compaction counts len(result)
+                        self._compaction_future = self._compaction_pool.submit(
+                            lambda t=table, n=int(per): [migrate_spec_files(t, n)]
+                        )
 
     # ------------------------------------------------------------------ run
     def run(
