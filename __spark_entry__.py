@@ -554,6 +554,37 @@ def q_ann_neardup_exact(spark, sf_dir):
     )
 
 
+def q_ann_components(spark, sf_dir):
+    """Embedding near-dup clusters: connected components over the cosine
+    near-dup pair graph, every vector assigned its min-id representative —
+    the collapse step a training-data pipeline runs after pair generation
+    (transitive near-dups A~B~C fold to ONE keep decision even when A!~C).
+    Pair generation here is the exact all-pairs baseline (the documented
+    oracle form; the scale path feeds the same component algorithm from
+    LSH-verified pairs). Oracle: DuckDB recursive-CTE transitive closure."""
+    _conf(spark)
+    from aqueduct_core_spark.functions.dedup import dedup_assignments
+
+    emb = _t("embeddings")(spark, sf_dir)
+    n = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_T)
+    )
+    vecs = emb.select("vec_id")
+    return dedup_assignments(vecs, pairs, id_col="vec_id").select(
+        "vec_id", "rep_id", "cluster_size"
+    )
+
+
 # --------------------------------------- scale paths, each with an exact oracle
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs, exact-verified: banded candidates (the
@@ -1015,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_neardup_exact": q_ann_neardup_exact,
+        "ann_components": q_ann_components,
         "dataset_user_history": q_dataset_user_history,
         "dataset_shard_plan": q_dataset_shard_plan,
         # scale paths — verified against exact / constant-replicating oracles
@@ -1432,6 +1464,27 @@ def oracle_sql() -> dict[str, str]:
                    {_cos_sql('a.embedding', 'b.embedding')} AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_T}
+        """,
+        "ann_components": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEARDUP_T}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT a AS src, b AS dst FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+            labels AS (
+                SELECT src AS vec_id, least(src, min(dst)) AS rep_id
+                FROM reach GROUP BY src),
+            asgn AS (
+                SELECT v.vec_id, coalesce(l.rep_id, v.vec_id) AS rep_id
+                FROM embeddings v LEFT JOIN labels l ON l.vec_id = v.vec_id)
+            SELECT vec_id, rep_id,
+                   count(*) OVER (PARTITION BY rep_id) AS cluster_size
+            FROM asgn
         """,
         "dedup_minhash_lsh": _minhash_pairs_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
