@@ -46,6 +46,7 @@ SIMHASH_HAMMING = 6
 ANN_NBITS = 8
 ANN_TABLES = 4
 TOPK = 10
+MIX_QUOTA = 40  # per-language quota in the quality mix
 MEDIA_LIMIT = 120
 MEDIA_DIM = 16
 
@@ -481,6 +482,31 @@ def q_text_lang_quality(spark, sf_dir):
         "doc_id",
         lang_id(F.col("text")).alias("lang_pred"),
         quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_dataset_quality_mix(spark, sf_dir):
+    """Quality-weighted stratified corpus mix: top MIX_QUOTA docs per
+    predicted language by quality score (ties by doc_id) — the deterministic
+    mixing step of a training-data pipeline. Declarative rank<=k over a
+    window so Spark's WindowGroupLimit keeps at most k rows per group
+    upstream of the sort (skew-safe under a dominant language; plan pinned
+    in tests/test_pipeline.py)."""
+    _conf(spark)
+    from aqueduct_core_spark.pipeline import top_k_per_group
+
+    docs = _t("documents")(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return top_k_per_group(
+        scored,
+        ["lang_pred"],
+        [F.desc("quality"), F.col("doc_id")],
+        MIX_QUOTA,
+        rank_col="mix_rank",
     )
 
 
@@ -1040,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_priority_semijoin": q_olap_priority_semijoin,
         "text_token_counts": q_text_token_counts,
         "text_lang_quality": q_text_lang_quality,
+        "dataset_quality_mix": q_dataset_quality_mix,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact_digests": q_dedup_exact_digests,
         "dedup_token_jaccard": q_dedup_token_jaccard,
@@ -1382,6 +1409,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_quality": f"""
             SELECT doc_id, {lang_case} AS lang_pred, {quality} AS quality FROM documents
+        """,
+        "dataset_quality_mix": f"""
+            SELECT doc_id, lang_pred, quality, mix_rank FROM (
+                SELECT doc_id, {lang_case} AS lang_pred, {quality} AS quality,
+                       row_number() OVER (PARTITION BY {lang_case}
+                                          ORDER BY {quality} DESC, doc_id) AS mix_rank
+                FROM documents) t
+            WHERE mix_rank <= {MIX_QUOTA}
         """,
         "text_fingerprint": f"SELECT doc_id, {fingerprint} AS fingerprint FROM documents",
         "dedup_exact_digests": """

@@ -290,3 +290,47 @@ def build_training_dataset(
     good = score_and_filter(packed, min_quality=min_quality)
     uniq = drop_exact_duplicates(good)
     return plan_shards(uniq, tokens_per_shard)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic top-k rows per group — the corpus-mixing primitive
+    (per-language / per-source quality quotas in a training mix).
+
+    Declarative on purpose: `row_number() <= k` over a window is recognized by
+    Spark's WindowGroupLimit optimization (Spark 3.5+ RankLimit pushdown), so
+    each task keeps at most k rows per group BEFORE the window shuffle and
+    sort — the two-phase partial-top-k plan you'd otherwise hand-build, for
+    free, and it survives a dominant-group skew (each map task contributes at
+    most k rows of the dominant group to the final sort). Plan shape is
+    pinned in tests/test_pipeline.py."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= F.lit(int(k))
+    )
+
+
+def quality_mix(
+    docs: DataFrame,
+    quota: int,
+    strata_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-weighted stratified selection: the top `quota` documents per
+    stratum (language, source, ...) by quality score, ties broken by id —
+    deterministic, so a re-run of the mix over the same corpus produces the
+    same dataset (reproducible-training requirement)."""
+    scored = docs.withColumn("quality", quality_score(F.col(text_col)))
+    return top_k_per_group(
+        scored,
+        [strata_col],
+        [F.desc("quality"), F.col(id_col)],
+        quota,
+        rank_col="mix_rank",
+    )

@@ -263,3 +263,40 @@ def test_plan_shards_property_random_corpora(spark):
         assert got_bal == exp_bal
 
     check()
+
+
+def test_top_k_per_group_values_and_plan(spark):
+    from aqueduct_core_spark.pipeline import top_k_per_group
+    from aqueduct_core_spark.plans.inspect import explain_str
+    from pyspark.sql import functions as F
+
+    rows = [(f"d{i:03d}", "en" if i % 4 else "de", float(i % 7)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, quality double")
+    out = top_k_per_group(df, ["lang"], [F.desc("quality"), F.col("doc_id")], 5)
+    got = {(r["lang"], r["rank"]): r["doc_id"] for r in out.collect()}
+    # oracle: python sort per group
+    want = {}
+    for lang in ("en", "de"):
+        grp = sorted(
+            ((q, d) for d, l, q in rows if l == lang), key=lambda t: (-t[0], t[1])
+        )[:5]
+        for rk, (q, d) in enumerate(grp, 1):
+            want[(lang, rk)] = d
+    assert got == want
+    # scale shape: rank<=k must trigger Spark's WindowGroupLimit pushdown so
+    # each task keeps at most k rows per group BEFORE the window shuffle —
+    # the skew guard under a dominant group
+    assert "WindowGroupLimit" in explain_str(out, "simple")
+
+
+def test_quality_mix_deterministic(spark):
+    from aqueduct_core_spark.pipeline import quality_mix
+
+    rows = [
+        (i, "the and is of to " * (i % 5 + 1), "en" if i % 3 else "de")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(tuple(r) for r in quality_mix(df, 7, "lang").collect())
+    b = sorted(tuple(r) for r in quality_mix(df, 7, "lang").collect())
+    assert a == b and len(a) == 14  # reproducible, quota respected per stratum
