@@ -46,6 +46,7 @@ SIMHASH_HAMMING = 6
 ANN_NBITS = 8
 ANN_TABLES = 4
 TOPK = 10
+KNN_K = 5  # neighbors per vector in the k-NN graph
 MIX_QUOTA = 40  # per-language quota in the quality mix
 MEDIA_LIMIT = 120
 MEDIA_DIM = 16
@@ -611,6 +612,32 @@ def q_ann_components(spark, sf_dir):
     )
 
 
+def q_ann_knn_graph(spark, sf_dir):
+    """k-NN graph: each vector's KNN_K nearest neighbors by cosine (ties by
+    neighbor id) — the precursor of graph-based ANN indexes and of
+    embedding-cluster analyses. Exact all-pairs scoring as the oracle
+    baseline; rank<=k stays declarative so WindowGroupLimit keeps at most k
+    candidates per source vector upstream of the sort (the scale path swaps
+    the all-pairs scorer for IVF/LSH candidate generation and keeps this
+    exact top-k head)."""
+    _conf(spark)
+    from aqueduct_core_spark.pipeline import top_k_per_group
+
+    emb = _t("embeddings")(spark, sf_dir)
+    n = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    scored = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("nbr"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, ["src"], [F.desc("cosine"), F.col("nbr")], KNN_K, rank_col="nn_rank"
+    )
+
+
 # --------------------------------------- scale paths, each with an exact oracle
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs, exact-verified: banded candidates (the
@@ -1074,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_neardup_exact": q_ann_neardup_exact,
         "ann_components": q_ann_components,
+        "ann_knn_graph": q_ann_knn_graph,
         "dataset_user_history": q_dataset_user_history,
         "dataset_shard_plan": q_dataset_shard_plan,
         # scale paths — verified against exact / constant-replicating oracles
@@ -1520,6 +1548,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, rep_id,
                    count(*) OVER (PARTITION BY rep_id) AS cluster_size
             FROM asgn
+        """,
+        "ann_knn_graph": f"""
+            SELECT src, nbr, cosine, nn_rank FROM (
+                SELECT a.vec_id AS src, b.vec_id AS nbr,
+                       {_cos_sql('a.embedding', 'b.embedding')} AS cosine,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql('a.embedding', 'b.embedding')} DESC,
+                                    b.vec_id) AS nn_rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+            WHERE nn_rank <= {KNN_K}
         """,
         "dedup_minhash_lsh": _minhash_pairs_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
