@@ -129,6 +129,7 @@ class IngestEngine:
         self._compaction_pool = (
             ThreadPoolExecutor(max_workers=1, thread_name_prefix="compaction")
             if compaction_policy is not None
+            or "spec_migration.files_per_commit" in self.table_properties
             else None
         )
         self._compaction_future = None
@@ -467,7 +468,10 @@ class IngestEngine:
             self.metrics.batches_applied += 1
         self.metrics.last_batch_id = batch_id
 
-        if self.compaction_policy is not None and not result.skipped:
+        run_maintenance = self.compaction_policy is not None or (
+            "spec_migration.files_per_commit" in self.table_properties
+        )
+        if run_maintenance and not result.skipped:
             # self-tuning delta-fold: manifest stats decide, per bucket —
             # the under-threshold path stays a pure driver-side manifest
             # check on THIS thread; a triggered fold is submitted to the
@@ -482,8 +486,10 @@ class IngestEngine:
 
             self._harvest_compaction()
             cur = table.current()
-            if self._compaction_future is None and buckets_over_threshold(
-                cur, self.compaction_policy
+            if (
+                self._compaction_future is None
+                and self.compaction_policy is not None
+                and buckets_over_threshold(cur, self.compaction_policy)
             ):
                 self._compaction_future = self._compaction_pool.submit(
                     maybe_compact, table, self.compaction_policy

@@ -235,3 +235,62 @@ def test_new_writes_use_new_layout(spark, tmp_path):
         .collect()
     )
     assert {r["b"] for r in got} == {one["bucket"]}
+
+
+def test_engine_background_migration_drains_mixed_state(spark, tmp_path):
+    """Live-pipeline migration: ingest under 4 buckets, evolve to 8 mid-feed,
+    keep ingesting with spec_migration.files_per_commit set — the engine's
+    single-outstanding maintenance worker must drain the old-spec files
+    between batches without stalling ingest, and the final state must equal
+    the oracle replay."""
+    from aqueduct_core_spark.feedgen import generate_change_feed, write_segments
+    from aqueduct_core_spark.streaming.engine import IngestEngine
+
+    import os
+    import shutil
+
+    feed = generate_change_feed(spark, 4000, 50, 8, seed=31, ts_jitter_s=15, dup_frac=0.02)
+    staging, live = str(tmp_path / "staging"), str(tmp_path / "feed")
+    # segments are lsn-range-ordered: part-00000 holds the lowest lsn range
+    write_segments(feed, staging, n_segments=12)
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    os.makedirs(live)
+    for f in parts[:4]:  # phase 1: first third of the log
+        shutil.copy(os.path.join(staging, f), os.path.join(live, f))
+
+    eng = IngestEngine(
+        spark, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        n_buckets=4, merge_mode="mor",
+        table_properties={"spec_migration.files_per_commit": "2"},
+    )
+    eng.run(live, max_files_per_trigger=1)
+    table = LakeTable(spark, eng.table_root)
+    table.evolve_bucketing(8)
+    cur = table.current()
+    assert is_mixed_spec(cur)
+    old_before = sum(1 for f in cur.files if file_spec(f) != current_spec_id(cur))
+    for f in parts[4:]:  # phase 2: the rest arrives; same checkpoint resumes
+        shutil.copy(os.path.join(staging, f), os.path.join(live, f))
+    eng.run(live, max_files_per_trigger=1)
+    eng.drain_compaction()
+    eng.close()
+
+    # the background worker made real progress while batches kept landing
+    # (at most one outstanding job, so a short run need not fully drain)
+    cur = table.current()
+    old_after = sum(1 for f in cur.files if file_spec(f) != current_spec_id(cur))
+    assert eng.compactions_triggered > 0
+    assert old_after < old_before, (
+        f"background migration retired nothing ({old_before} -> {old_after})"
+    )
+    # drain the tail inline and verify the end state
+    while not migrate_spec_files(table, max_files=4).done:
+        pass
+    assert not is_mixed_spec(table.current())
+    expected = [
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in replay([e.asDict() for e in feed.orderBy("change_lsn").collect()])
+    ]
+    assert rows(table) == expected
