@@ -49,3 +49,46 @@ def count_by_entity(table: LakeTable) -> DataFrame:
         .groupBy(kind.alias("entity"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def export_changefeed(
+    table: LakeTable, since_version: int, until_version: int | None = None
+) -> DataFrame:
+    """The table's changelog re-expressed as a CHANGE_EVENT_SCHEMA feed — the
+    wire-format inverse of merge.normalize_events, so a DOWNSTREAM engine
+    instance (another cluster, another system) can tail this table exactly
+    like the source feed: the reference's node-serves-/pipe-to-other-nodes
+    hierarchy (HttpPipeClient.java:36-63 tails a parent node's pipe), across
+    the lake boundary instead of in-process like streaming/chain.py.
+
+    Same compaction semantics as the reference's pipe pages: intra-batch LWW
+    already collapsed superseded versions at write, so the export carries the
+    winner per (key, batch) — replaying it reproduces the same final state
+    (idempotent LWW), not necessarily the same intermediate event count.
+    Deletes export as op='D' (the pipe's `data IS NULL` message); the
+    conversation-delete cascade sentinel (turn_idx = -2) is dropped — ingest
+    re-derives it from the conversation 'D' event with the same (ts, lsn).
+    routing_id / event_size are not persisted in the table and export NULL."""
+    from aqueduct_core_spark.lake.merge import read_changes
+    from aqueduct_core_spark.schema import (
+        CONV_DELETE_SENTINEL_TURN_IDX,
+        CONV_SENTINEL_TURN_IDX,
+    )
+
+    d = read_changes(table, since_version, until_version)
+    is_conv = F.col("turn_idx") == F.lit(CONV_SENTINEL_TURN_IDX)
+    return d.filter(F.col("turn_idx") != F.lit(CONV_DELETE_SENTINEL_TURN_IDX)).select(
+        F.col("_lsn").alias("change_lsn"),
+        F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.when(is_conv, F.lit("conversation")).otherwise(F.lit("turn")).alias("entity"),
+        F.col("conv_id"),
+        F.when(is_conv, F.lit(None).cast("int"))
+        .otherwise(F.col("turn_idx"))
+        .alias("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        F.col("ts"),
+        F.lit(None).cast("long").alias("routing_id"),
+        F.lit(None).cast("int").alias("event_size"),
+    )

@@ -78,3 +78,63 @@ def test_balance_bucket_ranges_hot_bucket():
     flat = sorted(b for j in jobs for b in j)
     assert flat == list(range(8))
     assert sum(1 for j in jobs if 5 in j) == 1
+
+
+def test_export_changefeed_round_trips_into_fresh_engine(spark, tmp_path):
+    """Cross-system chaining: a table's exported changefeed, ingested by a
+    FRESH table through the normal normalize/merge path, reproduces the same
+    final state — the reference's node-serves-pipe-to-nodes hierarchy across
+    the lake boundary (HttpPipeClient.java:36-63), including conversation
+    deletes whose cascade sentinel must be re-derived on re-ingest."""
+    import random
+
+    from aqueduct_core_spark.transcripts import export_changefeed, read_transcripts
+
+    rng = random.Random(77)
+    events, lsn = [], 0
+    for _ in range(240):
+        lsn += 1
+        conv = f"c{rng.randrange(9)}"
+        if rng.random() < 0.08:
+            events.append(ev(lsn, op=rng.choice(["I", "D"]), entity="conversation",
+                             conv=conv, t=lsn + rng.randrange(-6, 7)))
+        else:
+            events.append(ev(lsn, op=rng.choice(["I", "U", "D"]), conv=conv,
+                             turn=rng.randrange(5), t=lsn + rng.randrange(-6, 7)))
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPT_PHYSICAL_SCHEMA,
+        bucket_key="conv_id", n_buckets=4, properties={"merge_mode": "mor"},
+    )
+    for i in range(3):
+        merge_change_batch(src, events_df(spark, events[i * 80 : (i + 1) * 80]), batch_id=i)
+
+    feed = export_changefeed(src, since_version=1)
+    # feed shape is the ingestable contract: NULL turn_idx only on
+    # conversation events, ops within the valid set, lsn total order intact
+    assert feed.filter("entity = 'turn' AND turn_idx IS NULL").count() == 0
+    assert feed.filter("op NOT IN ('U','D')").count() == 0
+
+    dst = LakeTable.create(
+        spark, str(tmp_path / "dst"), TRANSCRIPT_PHYSICAL_SCHEMA,
+        bucket_key="conv_id", n_buckets=8,  # different layout on purpose
+        properties={"merge_mode": "mor"},
+    )
+    merge_change_batch(dst, feed, batch_id=0)
+
+    def final(t):
+        return [
+            tuple(r)
+            for r in read_transcripts(t).orderBy("conv_id", "turn_idx").collect()
+        ]
+
+    assert final(dst) == final(src)
+    # and an INCREMENTAL export window applies cleanly on top of a copy that
+    # already has the prefix (the chained-tail shape)
+    mid_version = 2  # after batch 0's commit
+    dst2 = LakeTable.create(
+        spark, str(tmp_path / "dst2"), TRANSCRIPT_PHYSICAL_SCHEMA,
+        bucket_key="conv_id", n_buckets=8, properties={"merge_mode": "mor"},
+    )
+    merge_change_batch(dst2, export_changefeed(src, 1, mid_version), batch_id=0)
+    merge_change_batch(dst2, export_changefeed(src, mid_version), batch_id=1)
+    assert final(dst2) == final(src)
