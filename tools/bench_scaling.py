@@ -113,8 +113,20 @@ class LegSampler:
         return False
 
 
-def leg_floor_GBs() -> float:
-    return float(os.environ.get("AQ_SCALE_LEG_MIN_TMPFS_GBS", "1.0"))
+def leg_floor_GBs(cpus: int = 4) -> float:
+    """In-leg sampler floor, scaled to the leg's own parallelism.
+
+    The sampler thread competes with the leg's `cpus` Spark threads for the
+    box's aggregate write bandwidth, so under fair sharing its expected share
+    scales ~1/(cpus+1). Measured (campaigns v9/v10): healthy 4p legs sample
+    a ~1.7-2.3 GB/s median while healthy 16p legs sample ~0.58 — a 3.4x gap,
+    exactly (16+1)/(4+1) — and the fixed 1.0 floor therefore voided EVERY
+    16p leg including the healthiest replay ever recorded (1.05M ev/s). The
+    env base AQ_SCALE_LEG_MIN_TMPFS_GBS stays 4p-referenced; other
+    parallelisms get base*(4+1)/(cpus+1). External throttles still trip it:
+    throttled 16p legs sample 0.01-0.17 medians vs the 0.29 scaled floor."""
+    base = float(os.environ.get("AQ_SCALE_LEG_MIN_TMPFS_GBS", "1.0"))
+    return base * 5.0 / (cpus + 1)
 
 
 def run_one(cpus: int, n_events: int) -> dict:
@@ -144,7 +156,7 @@ def run_leg(cpus: int, n_events: int) -> dict:
     in-flight tmpfs samples collapse below the floor is VOIDED and re-run
     (after waiting out the trough) up to AQ_SCALE_LEG_VOID_RETRIES times.
     The returned leg carries its sample trace either way."""
-    floor = leg_floor_GBs()
+    floor = leg_floor_GBs(cpus)
     retries = int(os.environ.get("AQ_SCALE_LEG_VOID_RETRIES", "2"))
     leg = None
     for attempt in range(retries + 1):
@@ -192,8 +204,11 @@ def run_leg(cpus: int, n_events: int) -> dict:
             deadline = time.monotonic() + float(
                 os.environ.get("AQ_SCALE_VOID_WAIT_S", "900")
             )
+            # idle probe: no leg is running, so the sampler owns the box —
+            # gate on the unscaled (1-thread idle) floor, not the leg-scaled one
+            idle_floor = float(os.environ.get("AQ_SCALE_LEG_MIN_TMPFS_GBS", "1.0"))
             while time.monotonic() < deadline:
-                if smp._sample_once() >= floor:
+                if smp._sample_once() >= idle_floor:
                     break
                 time.sleep(20)
     return leg
