@@ -147,8 +147,21 @@ def run_one(cpus: int, n_events: int) -> dict:
         timeout=3600,
         cwd=REPO,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        # The leg subprocess died without a result (OOM-killed JVM, crash).
+        # Raise a typed error so run_leg can VOID the attempt and retry
+        # instead of the whole multi-hour campaign dying on an IndexError
+        # (which is exactly how the v10 8M ladder ended at round 10).
+        raise LegCrashed(
+            f"bench.py (cpus={cpus}) exited {out.returncode} with no JSON; "
+            f"stderr tail: {out.stderr.strip().splitlines()[-3:] if out.stderr else []}"
+        )
+    return json.loads(lines[-1])
+
+
+class LegCrashed(RuntimeError):
+    pass
 
 
 def run_leg(cpus: int, n_events: int) -> dict:
@@ -160,8 +173,18 @@ def run_leg(cpus: int, n_events: int) -> dict:
     retries = int(os.environ.get("AQ_SCALE_LEG_VOID_RETRIES", "2"))
     leg = None
     for attempt in range(retries + 1):
-        with LegSampler() as s:
-            leg = run_one(cpus, n_events)["cdc_replay"]
+        try:
+            with LegSampler() as s:
+                leg = run_one(cpus, n_events)["cdc_replay"]
+        except (LegCrashed, subprocess.TimeoutExpired) as e:
+            print(
+                json.dumps({"leg_crashed": {"cpus": cpus, "attempt": attempt, "err": str(e)[:400]}}),
+                file=sys.stderr,
+                flush=True,
+            )
+            if leg is None and attempt == retries:
+                raise  # never produced a usable leg — surface the real error
+            continue
         if not s.samples:  # leg shorter than the sample interval
             s.samples.append(round(s._sample_once(), 2))
         # Calibrated 2026-08-17 (see BENCH.md): single samples bounce to
@@ -279,6 +302,15 @@ def main():
     # would leave the legs to run on the next throttle trough.
     feed_dir = pregenerate_feed(n_events)
     os.environ["AQ_BENCH_FEED_DIR"] = feed_dir
+
+    # AQ_SCALE_WARMUP_EVENTS: pre-generate a smaller feed and run it UNTIMED
+    # before each timed attempt (bench.py AQ_BENCH_WARMUP_DIR). Pair with
+    # AQ_BENCH_REPLAY_REPEATS=1 to halve 64M leg length (warmup replaces the
+    # sacrificial first best-of-2 attempt as the JIT warmer) so a whole round
+    # fits inside one of the host's short healthy phases.
+    warmup_events = int(os.environ.get("AQ_SCALE_WARMUP_EVENTS", "0"))
+    if warmup_events > 0:
+        os.environ["AQ_BENCH_WARMUP_DIR"] = pregenerate_feed(warmup_events)
 
     # Self-gate on host health BEFORE measuring (judge r2: a throttled host
     # produced 0.23-0.57 efficiencies that said nothing about the code).
