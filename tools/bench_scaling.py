@@ -42,13 +42,24 @@ def wait_healthy(min_membw_16p: float, timeout_s: float, interval_s: float):
 
     streak_need = max(1, int(os.environ.get("AQ_SCALE_GATE_STREAK", "3")))
     streak_gap = float(os.environ.get("AQ_SCALE_GATE_STREAK_GAP_S", "45"))
+    # Alternative gate on the 1-thread idle tmpfs write tell (GB/s; 0 = off):
+    # campaign v10 proved the membw probe is nearly uncorrelated with in-leg
+    # health (round 9: 4p probe 0.99 GB/s, then the best 4p rate of the whole
+    # ladder on a clean trace) while the tmpfs tell — the same measurement the
+    # in-leg sampler makes — tracks it. Either tell clearing its floor opens
+    # the gate; both are recorded in the probe history either way.
+    tmpfs_gate = float(os.environ.get("AQ_SCALE_GATE_TMPFS_GBS", "0"))
     history = []
     streak = 0
     deadline = time.monotonic() + timeout_s
+    sampler = LegSampler()
     while True:
         h = probe()
         h["gate_membw_16p_min"] = min_membw_16p
-        probe_ok = h["membw_16p_GBs"] >= min_membw_16p
+        h["idle_tmpfs_GBs"] = round(sampler._sample_once(), 2)
+        probe_ok = h["membw_16p_GBs"] >= min_membw_16p or (
+            tmpfs_gate > 0 and h["idle_tmpfs_GBs"] >= tmpfs_gate
+        )
         streak = streak + 1 if probe_ok else 0
         h["gate_streak"] = f"{streak}/{streak_need}"
         h["gate_ok"] = streak >= streak_need
@@ -386,13 +397,22 @@ def main():
                 and probe_post["membw_16p_GBs"] >= min_bw
                 and legs[lo]["leg_healthy"]
                 and legs[hi]["leg_healthy"],
+                # Traces-only grading, reported ALONGSIDE the strict one (which
+                # stays the pass criterion): v10's ladder showed the 15 s point
+                # probes at the seams are nearly uncorrelated with in-leg
+                # health on this host (round 9: 4p probe 0.99 GB/s, then the
+                # leg's best-ever rate with a clean 8-sample trace) — the
+                # in-leg sampler covers the whole leg interval, the probes
+                # only its endpoints.
+                "legs_clean": legs[lo]["leg_healthy"] and legs[hi]["leg_healthy"],
                 "efficiency": round(eff_r, 3),
             }
         )
         if stop_on_pass and per_round[-1]["healthy_pair"] and eff_r >= 0.8:
             break  # criterion demonstrated on a clean pair — stop burning the host
     healthy_rounds = [p for p in per_round if p["healthy_pair"]]
-    graded = healthy_rounds or per_round
+    clean_rounds = [p for p in per_round if p.get("legs_clean")]
+    graded = healthy_rounds or clean_rounds or per_round
     best = max(graded, key=lambda p: p["efficiency"])
     r_lo, r_hi = best[f"local{lo}"], best[f"local{hi}"]
     eff = best["efficiency"]
@@ -405,9 +425,11 @@ def main():
         "speedup": round(r_lo["sec"] / r_hi["sec"], 3),
         "efficiency": eff,
         "pass": eff >= 0.8 and best["healthy_pair"],
+        "pass_on_clean_legs": eff >= 0.8 and best.get("legs_clean", False),
         "rounds": per_round,
         "graded_round": best["round"],
         "graded_on_healthy_pair": best["healthy_pair"],
+        "graded_on_clean_legs": best.get("legs_clean", False),
         "host_health": health,
         "host_health_after": health_after,
     }
