@@ -408,8 +408,19 @@ def main():
                 "efficiency": round(eff_r, 3),
             }
         )
-        if stop_on_pass and per_round[-1]["healthy_pair"] and eff_r >= 0.8:
-            break  # criterion demonstrated on a clean pair — stop burning the host
+        if stop_on_pass and eff_r >= 0.8 and (
+            per_round[-1]["healthy_pair"]
+            or (
+                per_round[-1]["legs_clean"]
+                and os.environ.get("AQ_SCALE_STOP_ON_CLEAN_PASS") == "1"
+            )
+        ):
+            # criterion demonstrated — stop burning the host. The clean-legs
+            # stop is opt-in (forced campaigns): v10 proved the 15 s seam
+            # probes are nearly uncorrelated with in-leg health, so waiting
+            # for probes>=gate on top of clean full-leg traces just burns
+            # rounds a stricter later round can no longer improve.
+            break
     healthy_rounds = [p for p in per_round if p["healthy_pair"]]
     clean_rounds = [p for p in per_round if p.get("legs_clean")]
     graded = healthy_rounds or clean_rounds or per_round
