@@ -137,6 +137,8 @@ def lsh_candidate_pairs(
     bands: int = 8,
     verify_threshold: float | None = 0.7,
     max_bucket_size: int | None = 256,
+    n_hashes: int | None = None,
+    include_estimate: bool = True,
 ) -> DataFrame:
     """Band the signatures into buckets; pairs sharing any band-bucket are
     candidates. Estimated Jaccard = fraction of matching signature positions.
@@ -146,12 +148,21 @@ def lsh_candidate_pairs(
     max_bucket_size drops over-common buckets (a band value shared by more
     than N docs): such buckets are low-signal (stopword-like shingles) and
     quadratic to expand — the standard production guard that keeps LSH
-    near-linear under adversarial corpora. Pass None to disable."""
-    n = len(sig_df.select("sig").first()["sig"])
+    near-linear under adversarial corpora. Pass None to disable.
+
+    n_hashes: signature length; pass it when known to skip a driver-side
+    first() that otherwise executes the whole signature pipeline once just to
+    measure the array. include_estimate=False (only valid when
+    verify_threshold is None) skips est_jaccard and drops the sig arrays
+    before the pair-dedup exchange — for callers that re-verify candidates
+    exactly and never read the estimate (guide §2.3: shuffle fewer bytes)."""
+    if not include_estimate and verify_threshold is not None:
+        raise ValueError("include_estimate=False requires verify_threshold=None")
+    n = n_hashes if n_hashes is not None else len(sig_df.select("sig").first()["sig"])
     rows_per_band = n // bands
+    sig_cols = ["id", "sig"] if include_estimate else ["id"]
     banded = sig_df.select(
-        "id",
-        "sig",
+        *sig_cols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -169,34 +180,40 @@ def lsh_candidate_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-    # the signature pipeline (explode shingles + N min-aggs) is expensive and
-    # feeds the bucket-count side, the semi-join probe, and both self-join
-    # sides — cache the tiny banded table (n_docs x bands rows) so it runs once.
-    # `cached` stays a separate handle: reassigning `banded` below would make
-    # the final unpersist() target the (uncached) join plan and leak blocks.
-    cached = banded.persist()
-    banded = cached
+    ).select(*sig_cols, "bb.band", "bb.bucket")
+    # The signature pipeline (explode shingles + N min-aggs) is expensive and
+    # feeds the bucket-count side and both self-join sides. Materialize ONCE,
+    # eagerly: a lazy persist() lets those branches race cache population
+    # inside one job and recompute the upstream pipeline per branch (same
+    # finding as simhash_near_pairs_words, measured 2x+ at sf1).
+    banded = banded.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         w_count = (
-            cached.groupBy("band", "bucket")
+            banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") <= max_bucket_size)
             .select("band", "bucket")
         )
         # plain semi-join (AQE broadcasts when small; at 100 TB the bucket-count
         # side can be huge, so no forced broadcast)
-        banded = cached.join(w_count, ["band", "bucket"], "left_semi")
+        banded = banded.join(w_count, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    if not include_estimate:
+        return (
+            joined.select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(
+    pairs = (
+        joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.sig").alias("sig_a"),
@@ -220,12 +237,6 @@ def lsh_candidate_pairs(
     )
     if verify_threshold is not None:
         pairs = pairs.filter(F.col("est_jaccard") >= verify_threshold)
-    # Materialize the (small) pairs result now so the banded cache can be
-    # released before returning — persist without unpersist would leak cached
-    # blocks across calls in a long-lived session. localCheckpoint truncates
-    # the lineage so the returned plan no longer references the cache.
-    pairs = pairs.localCheckpoint(eager=True)
-    cached.unpersist()
     return pairs
 
 
@@ -250,45 +261,61 @@ def minhash_lsh_verified_pairs(
     with p = 1-(1-s^2)^16, >0.999999 for s >= 0.7).
 
     Only documents with >= shingle_n tokens participate (shorter docs have no
-    full shingle) — mirrored by the ANSI oracle twin."""
-    toked = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
-    ).filter(F.size("_toks") >= shingle_n)
+    full shingle) — mirrored by the ANSI oracle twin.
+
+    Perf notes (r6, guide §2.5/§4 — output unchanged):
+      * document tables often arrive as ONE parquet row group (one scan task),
+        and the size(_toks) filter inlines the tokenize expression and pushes
+        it below the repartition INTO that single-task scan — so the whole
+        regex tokenize ran serially (measured 3.5s of the 9.6s query at sf1).
+        The eager localCheckpoint right after the repartition+tokenize is a
+        pushdown barrier: tokenize runs once, spread across cores, and the
+        filter/shingle stages read the materialized arrays;
+      * shingling itself is cheap (~0.1s at sf1), so the checkpoint replaces
+        the shs persist() (branches re-shingle from the checkpoint instead of
+        racing a lazy cache);
+      * n_hashes is passed down so lsh_candidate_pairs skips its driver-side
+        first() (which executed the whole signature pipeline once), and
+        include_estimate=False drops the sig arrays from the pair-dedup
+        exchange — this caller re-verifies with exact Jaccard and never reads
+        the estimate."""
     from aqueduct_core_spark.functions.text import shingle_array
 
     spread = df.sparkSession.sparkContext.defaultParallelism
-    shs = toked.repartition(spread).select(
-        "id", shingle_array(F.col("_toks"), shingle_n).alias("shs")
+    toked = (
+        df.repartition(spread)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .localCheckpoint(eager=True)
+        .filter(F.size("_toks") >= shingle_n)
     )
-    # shingle sets feed the signature pipeline AND both verification join
-    # sides — persist so the expensive tokenize+shingle stage runs once
-    shs = shs.persist()
-    try:
-        ex = shs.select("id", F.explode("shs").alias("sh"))
-        mins = [
-            F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
-        sigs = ex.groupBy("id").agg(*mins).select(
-            "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
-        )
-        cands = lsh_candidate_pairs(
-            sigs, bands=bands, verify_threshold=None, max_bucket_size=max_bucket_size
-        )
-        a_sets = shs.select(F.col("id").alias("id_a"), F.col("shs").alias("_sa"))
-        b_sets = shs.select(F.col("id").alias("id_b"), F.col("shs").alias("_sb"))
-        shared = F.size(F.array_intersect("_sa", "_sb"))
-        union = F.size("_sa") + F.size("_sb") - shared
-        out = (
-            cands.join(a_sets, "id_a")
-            .join(b_sets, "id_b")
-            .withColumn("jaccard", F.round(shared / union, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shs.unpersist()
+    shs = toked.select("id", shingle_array(F.col("_toks"), shingle_n).alias("shs"))
+    ex = shs.select("id", F.explode("shs").alias("sh"))
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    sigs = ex.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+    cands = lsh_candidate_pairs(
+        sigs,
+        bands=bands,
+        verify_threshold=None,
+        max_bucket_size=max_bucket_size,
+        n_hashes=num_hashes,
+        include_estimate=False,
+    )
+    a_sets = shs.select(F.col("id").alias("id_a"), F.col("shs").alias("_sa"))
+    b_sets = shs.select(F.col("id").alias("id_b"), F.col("shs").alias("_sb"))
+    shared = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - shared
+    return (
+        cands.join(a_sets, "id_a")
+        .join(b_sets, "id_b")
+        .withColumn("jaccard", F.round(shared / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ------------------------------------------------------------------ simhash
@@ -394,7 +421,23 @@ def simhash_near_pairs_words(
     fat-bucket members on (band, chunk, second_band, second_chunk) subdivides
     each fat bucket ~2^width-fold and misses nothing. (Beyond ~10^9 docs the
     second level goes fat too; the budget 8 bands / hamming 6 guarantees only
-    two matches, so deeper subdivision needs a lossy cap or more bands.)"""
+    two matches, so deeper subdivision needs a lossy cap or more bands.)
+
+    Perf notes (r6, guide §2.3/§2.4 — output provably unchanged):
+      * the hamming predicate rides INSIDE the candidate joins, so only
+        qualifying pairs reach the dropDuplicates exchange (measured at sf1:
+        the fat join emitted 243.6M rows, 87.4M after dedup, 648k after the
+        hamming filter — filtering first removes the 243M-row shuffle);
+      * the fat path's second band is restricted to band2 > band: every
+        qualifying all-fat pair has >= 2 matching bands i < j and is caught
+        with primary i / second j, while any pair with a thin matching band
+        is caught by the thin join — so one ordering suffices (halves the
+        fat2 explode AND kills the (i,j)/(j,i) duplicate pair stream);
+      * the (8n)-row chunks table is localCheckpoint-ed eagerly instead of
+        persist()-ed lazily: the counts/thin/fat branches previously raced
+        cache population inside one job and recomputed the upstream simhash
+        pipeline per branch (measured: full query 58.5s vs 3.5s signatures +
+        24s pairing when materialized separately)."""
     if bands <= max_hamming and max_bucket_size is None:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} loses the pigeonhole "
@@ -427,30 +470,35 @@ def simhash_near_pairs_words(
             ])
         ).alias("bc"),
     ).select("id", "sim_hi", "sim_lo", "bc.band", "bc.chunk")
-    # separate cache handle — reassignment below must not shadow the cached plan
-    cached = chunks.persist()
-    chunks = cached
+    # Materialize ONCE, eagerly: counts/thin/fat all branch off this table and
+    # a lazy persist() lets concurrent branches race the cache and recompute
+    # the whole upstream simhash pipeline per branch (measured 2x+ at sf1).
+    chunks = chunks.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         ok = (
-            cached.groupBy("band", "chunk")
+            chunks.groupBy("band", "chunk")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") <= max_bucket_size)
             .select("band", "chunk")
         )
-        chunks = cached.join(ok, ["band", "chunk"], "left_semi")
+        chunks = chunks.join(ok, ["band", "chunk"], "left_semi")
 
-    def pair_cols(a, b):
+    # hamming distance as a join-side predicate: evaluated inside the join so
+    # non-qualifying candidates never reach the dedup exchange
+    hamming_expr = (
+        F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+        + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    ).cast("int")
+
+    def pair_cols():
         return [
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim_hi").alias("_hi_a"),
-            F.col("a.sim_lo").alias("_lo_a"),
-            F.col("b.sim_hi").alias("_hi_b"),
-            F.col("b.sim_lo").alias("_lo_b"),
+            hamming_expr.alias("hamming"),
         ]
 
     if fat_bucket_cap is not None:
-        counts = cached.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("_n"))
+        counts = chunks.groupBy("band", "chunk").agg(F.count(F.lit(1)).alias("_n"))
         fat_keys = counts.filter(F.col("_n") > fat_bucket_cap).select("band", "chunk")
         thin = chunks.join(fat_keys, ["band", "chunk"], "left_anti")
         fat = chunks.join(fat_keys, ["band", "chunk"], "left_semi")
@@ -459,11 +507,15 @@ def simhash_near_pairs_words(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        ).select(*pair_cols(a, b))
+            & (F.col("a.id") < F.col("b.id"))
+            & (hamming_expr <= max_hamming),
+        ).select(*pair_cols())
         # fat path: subdivide by a second band's chunk (recomputed from the
         # words — the bands partition the 64 bits, so "the other bands" ARE
-        # the sub-bands of the remaining bits)
+        # the sub-bands of the remaining bits). band2 > band is lossless:
+        # every qualifying pair matches on >= 2 bands i < j, and either some
+        # matching band's bucket is thin (thin join catches it) or the pair
+        # is all-fat on i and caught with primary i / second j.
         fat2 = fat.select(
             "id",
             "sim_hi",
@@ -476,7 +528,7 @@ def simhash_near_pairs_words(
                     for j in range(bands)
                 ])
             ).alias("sb"),
-        ).filter(F.col("sb.band2") != F.col("band")).select(
+        ).filter(F.col("sb.band2") > F.col("band")).select(
             "id", "sim_hi", "sim_lo", "band", "chunk", "sb.band2", "sb.chunk2"
         )
         fa, fb = fat2.alias("a"), fat2.alias("b")
@@ -486,8 +538,9 @@ def simhash_near_pairs_words(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.band2") == F.col("b.band2"))
             & (F.col("a.chunk2") == F.col("b.chunk2"))
-            & (F.col("a.id") < F.col("b.id")),
-        ).select(*pair_cols(fa, fb))
+            & (F.col("a.id") < F.col("b.id"))
+            & (hamming_expr <= max_hamming),
+        ).select(*pair_cols())
         cand = thin_pairs.unionByName(fat_pairs).dropDuplicates(["id_a", "id_b"])
     else:
         a, b = chunks.alias("a"), chunks.alias("b")
@@ -496,25 +549,13 @@ def simhash_near_pairs_words(
                 b,
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.chunk") == F.col("b.chunk"))
-                & (F.col("a.id") < F.col("b.id")),
+                & (F.col("a.id") < F.col("b.id"))
+                & (hamming_expr <= max_hamming),
             )
-            .select(*pair_cols(a, b))
+            .select(*pair_cols())
             .dropDuplicates(["id_a", "id_b"])
         )
-    out = (
-        cand.withColumn(
-            "hamming",
-            (
-                F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
-                + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
-            ).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    out = out.localCheckpoint(eager=True)
-    cached.unpersist()
-    return out
+    return cand.select("id_a", "id_b", "hamming")
 
 
 def simhash_near_pairs(
