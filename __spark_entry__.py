@@ -76,7 +76,10 @@ def q_cdc_replay_final_state(spark, sf_dir):
     """Full-log LWW replay final state (reference: applied store after tailing
     the whole pipe; winner per key by (ts, lsn), tombstone winners absent)."""
     _conf(spark)
-    ev = _events(spark, sf_dir)
+    # project before the aggregation: lww_latest's max_by struct carries every
+    # input column, so the unused wide props payload would ride the agg
+    # buffers and the exchange (guide §2.3; output unchanged)
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "value", "ts")
     win = lww_latest(ev, key_cols=["user_id"], order_cols=["ts", "event_id"])
     return (
         win.filter(~_is_delete())
@@ -92,14 +95,17 @@ def q_cdc_replay_final_state(spark, sf_dir):
 
 def q_cdc_lww_latest_per_key(spark, sf_dir):
     _conf(spark)
-    ev = _events(spark, sf_dir)
+    # project before the agg — see q_cdc_replay_final_state
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "event_id", "ts")
     win = lww_latest(ev, key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"])
     return win.select("user_id", "event_type", F.col("event_id").alias("last_event_id"))
 
 
 def q_cdc_compaction_survivors(spark, sf_dir):
     _conf(spark)
-    ev = _events(spark, sf_dir)
+    # project before the window: compact_log's key-partition window would
+    # otherwise shuffle the unused props/value payload (guide §2.3)
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
     out = compact_log(
         ev,
         compact_threshold_ts=COMPACT_TS,
@@ -126,7 +132,10 @@ def q_cdc_consistency_sum(spark, sf_dir):
 
 def q_cdc_read_page(spark, sf_dir):
     _conf(spark)
-    ev = _events(spark, sf_dir).withColumn("event_size", F.length("props"))
+    # compute the size, then drop the payload before the page sort/window
+    ev = _events(spark, sf_dir).withColumn("event_size", F.length("props")).select(
+        "event_id", "user_id", "event_type", "event_size"
+    )
     page = read_page(
         ev,
         start_lsn=PAGE_START,
@@ -265,7 +274,10 @@ def q_cdc_mark_sweep_survivors(spark, sf_dir):
 
     ev = _events(spark, sf_dir).withColumn(
         "cluster_id", F.pmod(F.col("user_id"), F.lit(N_ROUTING))
-    ).withColumn("routing_id", F.pmod(F.col("user_id"), F.lit(N_ROUTING)))
+    ).withColumn("routing_id", F.pmod(F.col("user_id"), F.lit(N_ROUTING))).select(
+        # project before the mark join: props/value never reach the output
+        "event_id", "user_id", "event_type", "ts", "cluster_id", "routing_id"
+    )
     out = mark_and_sweep_deletions(
         ev,
         deletion_threshold_ts=DELETE_TS,

@@ -61,17 +61,22 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact near-duplicate pairs by cosine >= threshold (brute-force all-pairs;
-    the oracle baseline — use the LSH path at scale)."""
+    the oracle baseline — use the LSH path at scale). Norms are precomputed
+    per vector so the quadratic pair stage evaluates one array fold (the dot)
+    instead of three — bit-identical to cosine(): same expression for the
+    norm, same operation order for dot/(na*nb)."""
     n = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("_n", _norm(F.col("v")))
     a, b = n.alias("a"), n.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
