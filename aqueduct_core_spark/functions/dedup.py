@@ -197,6 +197,10 @@ def lsh_candidate_pairs(
         # plain semi-join (AQE broadcasts when small; at 100 TB the bucket-count
         # side can be huge, so no forced broadcast)
         banded = banded.join(w_count, ["band", "bucket"], "left_semi")
+    # self-join of the full banded table on both sides: force shuffled-hash
+    # (broadcast-building one whole side measured slower at sf1 and is
+    # impossible at scale — same rationale as simhash_near_pairs_words)
+    banded = banded.hint("shuffle_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     joined = a.join(
@@ -512,6 +516,11 @@ def simhash_near_pairs_words(
         fat_keys = counts.filter(F.col("_n") > fat_bucket_cap).select("band", "chunk")
         thin = chunks.join(fat_keys, ["band", "chunk"], "left_anti")
         fat = chunks.join(fat_keys, ["band", "chunk"], "left_semi")
+        # Both self-join sides are the full O(bands*n) chunk table, so force a
+        # shuffled-hash join: letting the planner broadcast-build a multi-MB
+        # hash relation of the whole side measured 6.3s vs 1.6s at sf1
+        # (guide §3.1), and at scale the sides could never broadcast.
+        thin = thin.hint("shuffle_hash")
         a, b = thin.alias("a"), thin.alias("b")
         thin_pairs = a.join(
             b,
@@ -540,7 +549,7 @@ def simhash_near_pairs_words(
             ).alias("sb"),
         ).filter(F.col("sb.band2") > F.col("band")).select(
             "id", "sim_hi", "sim_lo", "band", "chunk", "sb.band2", "sb.chunk2"
-        )
+        ).hint("shuffle_hash")
         fa, fb = fat2.alias("a"), fat2.alias("b")
         fat_pairs = fa.join(
             fb,
@@ -553,6 +562,7 @@ def simhash_near_pairs_words(
         ).select(*pair_cols())
         cand = thin_pairs.unionByName(fat_pairs).dropDuplicates(["id_a", "id_b"])
     else:
+        chunks = chunks.hint("shuffle_hash")  # same rationale as the fat path
         a, b = chunks.alias("a"), chunks.alias("b")
         cand = (
             a.join(

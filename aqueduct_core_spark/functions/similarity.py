@@ -167,6 +167,9 @@ def _candidate_pairs(
     # join sides, and without a barrier each side re-runs the Python bucketer
     # over every vector (guide §4: cross the JVM/Python boundary once)
     buckets = buckets.localCheckpoint(eager=True)
+    # self-join of the whole bucket table: shuffled-hash, not a broadcast
+    # build of one full side (see dedup.lsh_candidate_pairs)
+    buckets = buckets.hint("shuffle_hash")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
